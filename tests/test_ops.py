@@ -1,0 +1,222 @@
+"""Op-level parity tests against the PyTorch reference (impl='ref' paths) and
+plain torch functional ops — the dual-implementation oracle pattern the
+reference itself relies on (SURVEY.md section 4.1)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vfm_vae_tpu import ops
+from tests.oracle import import_reference, to_nhwc, to_nchw_tensor
+
+torch = pytest.importorskip("torch")
+
+RNG = np.random.default_rng(0)
+
+
+def rand_nhwc(b, h, w, c):
+    return RNG.standard_normal((b, h, w, c)).astype(np.float32)
+
+
+# ---------------------------------------------------------------- upfirdn2d
+
+
+@pytest.mark.parametrize(
+    "up,down,padding",
+    [
+        (1, 1, 0),
+        (1, 1, 2),
+        (2, 1, (2, 1, 2, 1)),
+        (1, 2, 1),
+        (2, 2, (1, 2, 0, 3)),
+        (1, 1, (-1, -1, -1, -1)),
+        (4, 1, 3),
+    ],
+)
+@pytest.mark.parametrize("taps", [[1, 3, 3, 1], [1, 2, 1], None])
+def test_upfirdn2d_matches_reference(up, down, padding, taps):
+    ref = import_reference("torch_utils.ops.upfirdn2d")
+    x = rand_nhwc(2, 12, 10, 3)
+    f_ref = ref.setup_filter(taps) if taps is not None else None
+    f_ours = ops.setup_filter(taps) if taps is not None else None
+
+    with torch.no_grad():
+        y_ref = ref.upfirdn2d(
+            to_nchw_tensor(x), f_ref, up=up, down=down, padding=padding, impl="ref"
+        )
+    y = ops.upfirdn2d(jnp.asarray(x), f_ours, up=up, down=down, padding=padding)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fn", ["filter2d", "upsample2d", "downsample2d"])
+def test_upfirdn_wrappers_match_reference(fn):
+    ref = import_reference("torch_utils.ops.upfirdn2d")
+    x = rand_nhwc(2, 16, 16, 4)
+    f_ref = ref.setup_filter([1, 3, 3, 1])
+    f_ours = ops.setup_filter([1, 3, 3, 1])
+    with torch.no_grad():
+        y_ref = getattr(ref, fn)(to_nchw_tensor(x), f_ref, impl="ref")
+    y = getattr(ops, fn)(jnp.asarray(x), f_ours)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_separable_filter_matches_2d():
+    x = rand_nhwc(1, 9, 9, 2)
+    taps = np.array([1, 4, 6, 4, 1, 4, 6, 4, 1], dtype=np.float32)
+    f_sep = ops.setup_filter(taps, separable=True)
+    f_2d = ops.setup_filter(taps, separable=False)
+    y_sep = ops.upfirdn2d(jnp.asarray(x), f_sep, up=2, padding=2)
+    y_2d = ops.upfirdn2d(jnp.asarray(x), f_2d, up=2, padding=2)
+    np.testing.assert_allclose(np.asarray(y_sep), np.asarray(y_2d), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- bias_act
+
+
+@pytest.mark.parametrize("act", ["linear", "relu", "lrelu", "tanh", "sigmoid", "swish"])
+@pytest.mark.parametrize("gain,clamp", [(None, None), (2.0, 0.5), (None, 256.0)])
+def test_bias_act_matches_reference(act, gain, clamp):
+    ref = import_reference("torch_utils.ops.bias_act")
+    x = rand_nhwc(2, 4, 4, 8)
+    b = RNG.standard_normal(8).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref.bias_act(
+            to_nchw_tensor(x), torch.from_numpy(b), act=act, gain=gain, clamp=clamp, impl="ref"
+        )
+    y = ops.bias_act(jnp.asarray(x), jnp.asarray(b), act=act, gain=gain, clamp=clamp)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- resize
+
+
+@pytest.mark.parametrize("out", [7, 16, 33, 128])
+@pytest.mark.parametrize("antialias", [False, True])
+def test_resize_bilinear_matches_torch(out, antialias):
+    import torch.nn.functional as F
+
+    x = rand_nhwc(2, 32, 32, 3)
+    with torch.no_grad():
+        y_ref = F.interpolate(
+            to_nchw_tensor(x), size=(out, out), mode="bilinear",
+            align_corners=False, antialias=antialias,
+        )
+    y = ops.resize_bilinear(jnp.asarray(x), size=(out, out), antialias=antialias)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("out", [9, 24, 64])
+@pytest.mark.parametrize("antialias", [False, True])
+def test_resize_bicubic_matches_torch(out, antialias):
+    import torch.nn.functional as F
+
+    x = rand_nhwc(2, 32, 32, 3)
+    with torch.no_grad():
+        y_ref = F.interpolate(
+            to_nchw_tensor(x), size=(out, out), mode="bicubic",
+            align_corners=False, antialias=antialias,
+        )
+    y = ops.resize_bicubic(jnp.asarray(x), size=(out, out), antialias=antialias)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("scale", [0.25, 0.5, 0.75, 2.0])
+def test_resize_scale_factor_matches_torch(scale):
+    import torch.nn.functional as F
+
+    x = rand_nhwc(1, 16, 16, 32)
+    with torch.no_grad():
+        y_ref = F.interpolate(
+            to_nchw_tensor(x), scale_factor=scale, mode="bilinear", align_corners=False
+        )
+    y = ops.resize_bilinear(jnp.asarray(x), scale_factor=scale)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("out", [(1, 1), (4, 4), (3, 5)])
+def test_adaptive_avg_pool_matches_torch(out):
+    import torch.nn.functional as F
+
+    x = rand_nhwc(2, 16, 20, 6)
+    with torch.no_grad():
+        y_ref = F.adaptive_avg_pool2d(to_nchw_tensor(x), out)
+    y = ops.adaptive_avg_pool2d(jnp.asarray(x), out)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- shuffle
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_pixel_unshuffle_matches_torch(r):
+    x = rand_nhwc(2, 8, 8, 3)
+    with torch.no_grad():
+        y_ref = torch.nn.functional.pixel_unshuffle(to_nchw_tensor(x), r)
+    y = ops.pixel_unshuffle(jnp.asarray(x), r)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_pixel_shuffle_matches_torch(r):
+    x = rand_nhwc(2, 4, 4, 3 * 16)
+    with torch.no_grad():
+        y_ref = torch.nn.functional.pixel_shuffle(to_nchw_tensor(x), r)
+    y = ops.pixel_shuffle(jnp.asarray(x), r)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=0, atol=0)
+
+
+def test_pixel_shuffle_roundtrip():
+    x = jnp.asarray(rand_nhwc(1, 8, 8, 4))
+    y = ops.pixel_shuffle(ops.pixel_unshuffle(x, 2), 2)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+# ---------------------------------------------------------------- norms
+
+
+def test_group_norm_matches_torch():
+    import torch.nn.functional as F
+
+    x = rand_nhwc(2, 6, 6, 32)
+    w = RNG.standard_normal(32).astype(np.float32)
+    b = RNG.standard_normal(32).astype(np.float32)
+    with torch.no_grad():
+        y_ref = F.group_norm(
+            to_nchw_tensor(x), 8, torch.from_numpy(w), torch.from_numpy(b)
+        )
+    y = ops.group_norm(jnp.asarray(x), 8, jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    from vfm_vae_tpu.ops.groupnorm import layer_norm
+
+    x = RNG.standard_normal((2, 7, 16)).astype(np.float32)
+    w = RNG.standard_normal(16).astype(np.float32)
+    b = RNG.standard_normal(16).astype(np.float32)
+    with torch.no_grad():
+        y_ref = torch.nn.functional.layer_norm(
+            torch.from_numpy(x), (16,), torch.from_numpy(w), torch.from_numpy(b), eps=1e-6
+        )
+    y = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- attention
+
+
+def test_sdpa_matches_torch():
+    import torch.nn.functional as F
+
+    q = RNG.standard_normal((2, 5, 4, 16)).astype(np.float32)  # B T N H
+    k = RNG.standard_normal((2, 7, 4, 16)).astype(np.float32)
+    v = RNG.standard_normal((2, 7, 4, 16)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = F.scaled_dot_product_attention(
+            torch.from_numpy(q).permute(0, 2, 1, 3),
+            torch.from_numpy(k).permute(0, 2, 1, 3),
+            torch.from_numpy(v).permute(0, 2, 1, 3),
+        ).permute(0, 2, 1, 3)
+    y = ops.dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), rtol=1e-4, atol=1e-5)
