@@ -1,0 +1,81 @@
+"""SigLIP vision tower parity vs HF transformers (random tiny config, fp32).
+
+This validates the full numerics chain: patch embed, pos-embed bicubic
+interpolation at dynamic resolution, pre-LN blocks, gelu-tanh MLP, post-LN,
+MAP pooling head, and the torch->jax weight converter.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_siglip():
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    cfg = SiglipVisionConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        num_channels=3,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = SiglipVisionModel(cfg).eval()
+    return cfg, model
+
+
+def _ours_from(model, cfg):
+    from vfm_vae_tpu.models.convert import convert_siglip_vision, siglip_tower_config
+    from vfm_vae_tpu.models.vit import SigLIPVisionTower
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_siglip_vision(sd)
+    tower = SigLIPVisionTower(**siglip_tower_config(cfg))
+    return tower, {"params": params}
+
+
+@pytest.mark.parametrize("res", [32, 16, 48])
+def test_siglip_tower_matches_hf(tiny_siglip, res):
+    cfg, model = tiny_siglip
+    tower, variables = _ours_from(model, cfg)
+
+    x = np.random.default_rng(res).standard_normal((2, 3, res, res)).astype(np.float32)
+    with torch.no_grad():
+        out = model(
+            pixel_values=torch.from_numpy(x),
+            interpolate_pos_encoding=True,
+            output_hidden_states=True,
+        )
+
+    hs, last, pooled = tower.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), collect=[0, 1, 2]
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs[0]), out.hidden_states[0].numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs[2]), out.hidden_states[2].numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(last), out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), out.pooler_output.numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_collect_subset_saves_outputs(tiny_siglip):
+    cfg, model = tiny_siglip
+    tower, variables = _ours_from(model, cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    hs, last, pooled = tower.apply(variables, x, collect=[1])
+    assert set(hs.keys()) == {1}

@@ -1,0 +1,309 @@
+"""Torch-checkpoint -> JAX-pytree weight converters.
+
+Layout rules (cf. models/layers.py):
+  torch Linear  (out, in)        -> ours (in, out)        : W.T
+  torch Conv2d  (O, I, kh, kw)   -> ours HWIO (kh,kw,I,O) : transpose(2,3,1,0)
+  torch depthwise Conv2d (C,1,k,k) -> HWIO (k,k,1,C)      : transpose(2,3,1,0)
+  norms / biases / embeddings    -> unchanged
+
+These functions take a flat ``{key: numpy array}`` state dict (call
+``.numpy()`` on torch tensors first, or load with safetensors) so torch is
+not a runtime dependency of the framework — only of the conversion step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))
+
+
+def _arr(w) -> np.ndarray:
+    return np.asarray(w)
+
+
+def _set(tree: Dict[str, Any], path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_siglip_vision(sd: Dict[str, np.ndarray], prefix: str = "vision_model.") -> Dict[str, Any]:
+    """HF SiglipVisionModel state_dict -> SigLIPVisionTower params."""
+    p: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]
+
+    _set(p, "patch_embedding_weight", _conv(g("embeddings.patch_embedding.weight")))
+    _set(p, "patch_embedding_bias", _arr(g("embeddings.patch_embedding.bias")))
+    _set(p, "position_embedding", _arr(g("embeddings.position_embedding.weight")))
+
+    n_layers = 0
+    while prefix + f"encoder.layers.{n_layers}.layer_norm1.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        lp = f"encoder.layers.{i}."
+        _set(p, f"layers_{i}/norm1/weight", _arr(g(lp + "layer_norm1.weight")))
+        _set(p, f"layers_{i}/norm1/bias", _arr(g(lp + "layer_norm1.bias")))
+        _set(p, f"layers_{i}/norm2/weight", _arr(g(lp + "layer_norm2.weight")))
+        _set(p, f"layers_{i}/norm2/bias", _arr(g(lp + "layer_norm2.bias")))
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(p, f"layers_{i}/attn/{proj}/weight", _t(g(lp + f"self_attn.{proj}.weight")))
+            _set(p, f"layers_{i}/attn/{proj}/bias", _arr(g(lp + f"self_attn.{proj}.bias")))
+        for fc in ("fc1", "fc2"):
+            _set(p, f"layers_{i}/mlp/{fc}/weight", _t(g(lp + f"mlp.{fc}.weight")))
+            _set(p, f"layers_{i}/mlp/{fc}/bias", _arr(g(lp + f"mlp.{fc}.bias")))
+
+    _set(p, "post_layernorm/weight", _arr(g("post_layernorm.weight")))
+    _set(p, "post_layernorm/bias", _arr(g("post_layernorm.bias")))
+
+    if prefix + "head.probe" in sd:
+        _set(p, "head/probe", _arr(g("head.probe")))
+        _set(p, "head/in_proj_weight", _arr(g("head.attention.in_proj_weight")))
+        _set(p, "head/in_proj_bias", _arr(g("head.attention.in_proj_bias")))
+        _set(p, "head/out_proj/weight", _t(g("head.attention.out_proj.weight")))
+        _set(p, "head/out_proj/bias", _arr(g("head.attention.out_proj.bias")))
+        _set(p, "head/layernorm/weight", _arr(g("head.layernorm.weight")))
+        _set(p, "head/layernorm/bias", _arr(g("head.layernorm.bias")))
+        _set(p, "head/mlp/fc1/weight", _t(g("head.mlp.fc1.weight")))
+        _set(p, "head/mlp/fc1/bias", _arr(g("head.mlp.fc1.bias")))
+        _set(p, "head/mlp/fc2/weight", _t(g("head.mlp.fc2.weight")))
+        _set(p, "head/mlp/fc2/bias", _arr(g("head.mlp.fc2.bias")))
+    return p
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def convert_fcl(sd, prefix: str) -> Dict[str, Any]:
+    """shared.py FullyConnectedLayer: raw (out,in) weight -> (in,out)."""
+    out = {"weight": _t(sd[prefix + "weight"])}
+    if prefix + "bias" in sd:
+        out["bias"] = _arr(sd[prefix + "bias"])
+    return out
+
+
+def convert_style_split(sd, prefix: str) -> Dict[str, Any]:
+    return {"proj": convert_fcl(sd, prefix + "proj.")}
+
+
+def convert_groupnorm(sd, prefix: str) -> Dict[str, Any]:
+    return {"weight": _arr(sd[prefix + "weight"]), "bias": _arr(sd[prefix + "bias"])}
+
+
+def convert_convnext_layer(sd, prefix: str, legacy: bool = False):
+    """ConvNeXtSynthesisLayer (convnext_utils.py:78). Returns (params, buffers)."""
+    p: Dict[str, Any] = {
+        "affine_pw1": convert_style_split(sd, prefix + "affine_pw1."),
+        "dwconv": {
+            "weight": _conv(sd[prefix + "dwconv.weight"]),
+            "bias": _arr(sd[prefix + "dwconv.bias"]),
+        },
+        "norm": convert_groupnorm(sd, prefix + "norm."),
+        "pwconv1": {
+            "weight": _t(np.asarray(sd[prefix + "pwconv1.weight"])[:, :, 0, 0]),
+            "bias": np.asarray(sd[prefix + "pwconv1.bias"]).reshape(-1),
+        },
+        "pwconv2": {
+            "weight": _conv(sd[prefix + "pwconv2.weight"]),
+            "bias": _arr(sd[prefix + "pwconv2.bias"]),
+        },
+        "gamma": np.asarray(sd[prefix + "gamma"]).reshape(-1),
+    }
+    b: Dict[str, Any] = {}
+    if legacy:
+        p["noise_strength"] = _arr(sd[prefix + "noise_strength"])
+        b["noise_const"] = _arr(sd[prefix + "noise_const"])
+    return p, b
+
+
+def convert_separable_upsample(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "norm": convert_groupnorm(sd, prefix + "norm."),
+        "depthwise": {"weight": _conv(sd[prefix + "depthwise.weight"])},
+        "pointwise": {"weight": _conv(sd[prefix + "pointwise.weight"])},
+    }
+
+
+def convert_convnext_torgb(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "weight": _conv(sd[prefix + "weight"]),
+        "bias": np.asarray(sd[prefix + "bias"]).reshape(-1),
+        "affine": convert_style_split(sd, prefix + "affine."),
+    }
+
+
+def convert_self_attention_block(sd, prefix: str) -> Dict[str, Any]:
+    """gigagan_utils.py SelfAttentionBlock."""
+    return {
+        "attn": {
+            "norm": {"gamma": np.asarray(sd[prefix + "attn.norm.gamma"]).reshape(-1)},
+            "to_q": {"weight": _conv(sd[prefix + "attn.to_q.weight"])},
+            "to_k": {"weight": _conv(sd[prefix + "attn.to_k.weight"])},
+            "to_v": {"weight": _conv(sd[prefix + "attn.to_v.weight"])},
+            "null_kv": _arr(sd[prefix + "attn.null_kv"]),
+            "to_out": {"weight": _conv(sd[prefix + "attn.to_out.weight"])},
+        },
+        "ff": {
+            "norm": {"gamma": np.asarray(sd[prefix + "ff.0.gamma"]).reshape(-1)},
+            "proj1": {
+                "weight": _conv(sd[prefix + "ff.1.weight"]),
+                "bias": _arr(sd[prefix + "ff.1.bias"]),
+            },
+            "proj2": {
+                "weight": _conv(sd[prefix + "ff.3.weight"]),
+                "bias": _arr(sd[prefix + "ff.3.bias"]),
+            },
+        },
+    }
+
+
+def convert_cross_attention_block(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "attn": {
+            "norm": {"gamma": np.asarray(sd[prefix + "attn.norm.gamma"]).reshape(-1)},
+            "norm_context": {"gamma": _arr(sd[prefix + "attn.norm_context.gamma"])},
+            "to_q": {"weight": _conv(sd[prefix + "attn.to_q.weight"])},
+            "to_kv": {"weight": _t(sd[prefix + "attn.to_kv.weight"])},
+            "null_kv": _arr(sd[prefix + "attn.null_kv"]),
+            "to_out": {"weight": _conv(sd[prefix + "attn.to_out.weight"])},
+        },
+        "ff": {
+            "norm": {"gamma": np.asarray(sd[prefix + "ff.0.gamma"]).reshape(-1)},
+            "proj1": {
+                "weight": _conv(sd[prefix + "ff.1.weight"]),
+                "bias": _arr(sd[prefix + "ff.1.bias"]),
+            },
+            "proj2": {
+                "weight": _conv(sd[prefix + "ff.3.weight"]),
+                "bias": _arr(sd[prefix + "ff.3.bias"]),
+            },
+        },
+    }
+
+
+# ---------------------------------------------------------------- adapter
+
+
+def convert_linear(sd, prefix: str) -> Dict[str, Any]:
+    out = {"weight": _t(sd[prefix + "weight"])}
+    if prefix + "bias" in sd:
+        out["bias"] = _arr(sd[prefix + "bias"])
+    return out
+
+
+def convert_layernorm(sd, prefix: str) -> Dict[str, Any]:
+    return {"weight": _arr(sd[prefix + "weight"]), "bias": _arr(sd[prefix + "bias"])}
+
+
+def convert_plain_attention(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "qkv": _t(sd[prefix + "qkv.weight"]),
+        "q_bias": _arr(sd[prefix + "q_bias"]),
+        "v_bias": _arr(sd[prefix + "v_bias"]),
+        "proj": convert_linear(sd, prefix + "proj."),
+    }
+
+
+def convert_geglu_mlp(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "norm": convert_layernorm(sd, prefix + "norm."),
+        "w0": convert_linear(sd, prefix + "w0."),
+        "w1": convert_linear(sd, prefix + "w1."),
+        "w2": convert_linear(sd, prefix + "w2."),
+    }
+
+
+def convert_attn_projection_block(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "norm1": convert_layernorm(sd, prefix + "norm1."),
+        "norm2": convert_layernorm(sd, prefix + "norm2."),
+        "norm3": convert_layernorm(sd, prefix + "norm3."),
+        "attn": convert_plain_attention(sd, prefix + "attn."),
+        "proj": convert_linear(sd, prefix + "proj."),
+        "mlp": convert_geglu_mlp(sd, prefix + "mlp."),
+    }
+
+
+def convert_attn_projection(sd, prefix: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    i = 0
+    while prefix + f"blocks.{i}.norm1.weight" in sd:
+        out[f"blocks_{i}"] = convert_attn_projection_block(sd, prefix + f"blocks.{i}.")
+        i += 1
+    return out
+
+
+def convert_ldm_adapter(sd, prefix: str, how_to_compress: str, how_to_decompress: str,
+                        compression_mode: str = "continuous", use_vf_loss: bool = False):
+    """LDMAdapter (ldm_utils.py:199). Returns (params, buffers)."""
+    p: Dict[str, Any] = {}
+    i = 0
+    while any(k.startswith(prefix + f"patch_quants.{i}.") for k in sd):
+        if how_to_compress == "conv":
+            p[f"patch_quant_{i}"] = {
+                "weight": _t(np.asarray(sd[prefix + f"patch_quants.{i}.0.weight"])[:, :, 0, 0]),
+                "bias": _arr(sd[prefix + f"patch_quants.{i}.0.bias"]),
+            }
+        else:
+            p[f"patch_quant_{i}"] = convert_attn_projection(sd, prefix + f"patch_quants.{i}.0.")
+        i += 1
+
+    if how_to_compress == "conv":
+        p["final_quant"] = {
+            "weight": _t(np.asarray(sd[prefix + "final_quant.weight"])[:, :, 0, 0]),
+            "bias": _arr(sd[prefix + "final_quant.bias"]),
+        }
+    else:
+        p["final_quant"] = convert_attn_projection(sd, prefix + "final_quant.")
+
+    if how_to_decompress == "conv":
+        p["post_quant"] = {
+            "weight": _t(np.asarray(sd[prefix + "post_quant.weight"])[:, :, 0, 0]),
+            "bias": _arr(sd[prefix + "post_quant.bias"]),
+        }
+    else:
+        p["post_quant"] = convert_attn_projection(sd, prefix + "post_quant.")
+
+    if use_vf_loss and prefix + "linear_proj.weight" in sd:
+        p["linear_proj"] = {
+            "weight": _t(np.asarray(sd[prefix + "linear_proj.weight"])[:, :, 0, 0])
+        }
+
+    b: Dict[str, Any] = {}
+    if compression_mode == "discrete":
+        q: Dict[str, Any] = {}
+        qb: Dict[str, Any] = {}
+        j = 0
+        while prefix + f"quantizer.codebooks.{j}.codebook.weight" in sd:
+            q[f"codebook_{j}"] = {"codebook": _arr(sd[prefix + f"quantizer.codebooks.{j}.codebook.weight"])}
+            qb[f"codebook_{j}"] = {
+                "vocab_usage": _arr(sd[prefix + f"quantizer.codebooks.{j}.vocab_usage"]),
+                "usage_record_times": np.zeros((), np.int32),
+            }
+            j += 1
+        p["quantizer"] = q
+        b["quantizer"] = qb
+    return p, b
+
+
+def siglip_tower_config(hf_config) -> Dict[str, Any]:
+    """Kwargs for SigLIPVisionTower from an HF SiglipVisionConfig."""
+    return dict(
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        mlp_dim=hf_config.intermediate_size,
+        patch_size=hf_config.patch_size,
+        image_size=hf_config.image_size,
+        eps=hf_config.layer_norm_eps,
+    )

@@ -1,0 +1,177 @@
+"""ConvNeXt-style modulated decoder layers.
+
+Reference: networks/utils/convnext_utils.py (ConvNeXtSynthesisLayer :78,
+ConvNeXtToRGBLayer :145, SeparableUpsampleWithFixedBlur :197, blur table
+:190). NHWC; modulated pointwise convs use the shared-weight factorization in
+models/modulated.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.pixelshuffle import pixel_shuffle
+from ..ops.resize import resize_bilinear
+from .layers import Conv2d, GroupNorm32, StyleSplit, trunc_normal_init
+from .modulated import ModulatedPointwiseConv2DLayer
+
+# Binomial low-pass kernels (convnext_utils.py:190-194).
+GAUSSIAN_KERNELS = {
+    "3x3": [1, 2, 1],
+    "4x4": [1, 3, 3, 1],
+    "5x5": [1, 4, 6, 4, 1],
+}
+
+
+class ConvNeXtSynthesisLayer(nn.Module):
+    """dwconv -> (legacy noise) -> GN32 -> modulated pw expand -> GELU ->
+    pw contract -> layer scale -> residual (convnext_utils.py:78-142)."""
+
+    channels: int
+    w_dim: int
+    kernel_size: int
+    layer_scale_init: float = 1e-5
+    demodulate: bool = True
+    block_index: int = 0
+    legacy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        C = self.channels
+        x_in = x
+        style = StyleSplit(self.w_dim, C, bias_init=1, name="affine_pw1")(w)
+
+        x = Conv2d(
+            C, C, self.kernel_size,
+            padding=self.kernel_size // 2, groups=C,
+            kernel_init=trunc_normal_init(0.02),
+            bias_init=nn.initializers.zeros,
+            name="dwconv",
+        )(x)
+
+        if self.legacy:
+            # Static per-resolution noise map kept for checkpoint compat
+            # (convnext_utils.py:105-133); bilinearly resized off-resolution.
+            res = 8 * 2 ** self.block_index
+            noise_const = self.variable(
+                "buffers", "noise_const",
+                lambda: jax.random.normal(self.make_rng("params"), (res, res), jnp.float32),
+            ).value
+            noise_strength = self.param("noise_strength", nn.initializers.zeros, ())
+            H, W = x.shape[1], x.shape[2]
+            noise = (noise_const * noise_strength)[None, :, :, None]
+            if (H, W) != (res, res):
+                noise = resize_bilinear(noise, size=(H, W))
+            x = x + noise.astype(x.dtype)
+
+        x = GroupNorm32(min(32, C // 4), C, name="norm")(x)
+        x = ModulatedPointwiseConv2DLayer(C, 4 * C, self.demodulate, name="pwconv1")(x, style)
+        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+        x = Conv2d(
+            4 * C, C, 1,
+            kernel_init=trunc_normal_init(0.02),
+            bias_init=nn.initializers.zeros,
+            name="pwconv2",
+        )(x)
+
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.layer_scale_init), (C,)
+            )
+            x = x * gamma.astype(x.dtype)
+        return (x + x_in).astype(dtype)
+
+
+class ConvNeXtToRGBLayer(nn.Module):
+    """Modulated 1x1 to-RGB without demodulation (convnext_utils.py:145-187)."""
+
+    in_channels: int
+    out_channels: int
+    w_dim: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        I, O, k = self.in_channels, self.out_channels, self.kernel_size
+
+        def w_init(key, shape, dtype=jnp.float32):
+            return 0.1 * jax.random.normal(key, shape, dtype)
+
+        weight = self.param("weight", w_init, (k, k, I, O))
+        bias = self.param("bias", nn.initializers.zeros, (O,))
+        weight_gain = 1 / math.sqrt(I * k * k)
+        style = StyleSplit(self.w_dim, I, bias_init=1, name="affine")(w) * weight_gain
+
+        B = x.shape[0]
+        xs = x * style.reshape(B, 1, 1, -1).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            xs, weight.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
+class SeparableUpsampleWithFixedBlur(nn.Module):
+    """GN -> dw3x3 -> pw1x1 -> PixelShuffle -> fixed Gaussian blur with
+    replicate padding (convnext_utils.py:197-256). `pre_normalize=False`
+    (first block) norms after the shuffle instead."""
+
+    in_channels: int
+    out_channels: int
+    upscale_factor: int = 2
+    blur_kernel: Union[str, Sequence[int]] = "3x3"
+    blur_normalize: bool = True
+    pad_mode: str = "edge"  # torch 'replicate'
+    pre_normalize: bool = True
+    use_gaussian_blur: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout, r = self.in_channels, self.out_channels, self.upscale_factor
+        norm_ch = cin if self.pre_normalize else cout
+        norm = GroupNorm32(min(32, norm_ch // 4), norm_ch, name="norm")
+        depthwise = Conv2d(cin, cin, 3, padding=1, groups=cin, use_bias=False, name="depthwise")
+        pointwise = Conv2d(cin, cout * r * r, 1, use_bias=False, name="pointwise")
+
+        if self.pre_normalize:
+            x = norm(x)
+            x = depthwise(x)
+            x = pointwise(x)
+            x = pixel_shuffle(x, r)
+        else:
+            x = depthwise(x)
+            x = pointwise(x)
+            x = pixel_shuffle(x, r)
+            x = norm(x)
+
+        if self.use_gaussian_blur:
+            taps = self.blur_kernel
+            if isinstance(taps, str):
+                taps = GAUSSIAN_KERNELS[taps]
+            k1 = np.asarray(taps, np.float32)
+            k2 = np.outer(k1, k1)
+            if self.blur_normalize:
+                k2 = k2 / k2.sum()
+            kh, kw = k2.shape
+            pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
+            extra_h, extra_w = int(kh % 2 == 0), int(kw % 2 == 0)
+            x = jnp.pad(
+                x,
+                ((0, 0), (pad_h, pad_h + extra_h), (pad_w, pad_w + extra_w), (0, 0)),
+                mode=self.pad_mode,
+            )
+            kernel = jnp.asarray(k2, x.dtype)[:, :, None, None]
+            kernel = jnp.tile(kernel, (1, 1, 1, cout))
+            x = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=cout,
+            )
+        return x

@@ -1,0 +1,233 @@
+"""Vision transformer towers (frozen VFM encoders + discriminator backbone).
+
+Pure-JAX re-implementations of the HF towers the reference wraps
+(networks/utils/vfms/siglip2_utils.py, dinov2_utils.py, mae_utils.py;
+discriminator DINO ViT-S/16 via networks/utils/vit_utils.py). Weights are
+converted once from torch checkpoints (models/convert.py).
+
+Design notes (TPU):
+  * towers run frozen in bf16 under stop_gradient; only the needed
+    hidden-state indices are collected (no x(N_layers) activation blowup);
+  * dynamic resolution = static shape buckets: pos-embed interpolation is a
+    host-built resize matrix per (grid_in, grid_out), so each EQ scale bucket
+    compiles once (SURVEY.md section 5.7);
+  * attention uses ops.attention (fused SDPA / Pallas flash attention).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+from ..ops.resize import resize_matrix
+from .layers import LayerNormFp32, Linear
+
+
+def interpolate_pos_embed(
+    pos: jnp.ndarray,  # (N, D) flattened square grid
+    grid_in: int,
+    grid_out_h: int,
+    grid_out_w: int,
+    mode: str = "bicubic",
+    antialias: bool = False,
+) -> jnp.ndarray:
+    """HF-style pos-embed resize (bicubic align_corners=False by default).
+    Implemented as two static resize matrices -> MXU matmuls."""
+    D = pos.shape[-1]
+    kind = "cubic" if mode == "bicubic" else "linear"
+    Mh = jnp.asarray(resize_matrix(grid_in, grid_out_h, kind, antialias))
+    Mw = jnp.asarray(resize_matrix(grid_in, grid_out_w, kind, antialias))
+    p = pos.astype(jnp.float32).reshape(grid_in, grid_in, D)
+    p = jnp.einsum("oh,hwd->owd", Mh, p)
+    p = jnp.einsum("ow,hwd->hod", Mw, p)
+    return p.reshape(grid_out_h * grid_out_w, D).astype(pos.dtype)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard q/k/v/out attention with biases (HF SiglipAttention-style)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        q = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="q_proj")(x)
+        k = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="k_proj")(x)
+        v = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="v_proj")(x)
+        q = q.reshape(B, N, h, d)
+        k = k.reshape(B, N, h, d)
+        v = v.reshape(B, N, h, d)
+        out = dot_product_attention(q, k, v).reshape(B, N, self.dim)
+        return Linear(self.dim, self.dim, name="out_proj")(out)
+
+
+class ViTMLP(nn.Module):
+    dim: int
+    hidden_dim: int
+    act: str = "gelu_tanh"  # HF gelu_pytorch_tanh
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.bias_act import apply_activation
+
+        x = Linear(self.dim, self.hidden_dim, name="fc1")(x)
+        x = apply_activation(x.astype(jnp.float32), self.act).astype(x.dtype)
+        return Linear(self.hidden_dim, self.dim, name="fc2")(x)
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block; optional DINOv2-style LayerScale."""
+
+    dim: int
+    num_heads: int
+    mlp_dim: int
+    eps: float = 1e-6
+    act: str = "gelu_tanh"
+    layer_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = MultiHeadSelfAttention(self.dim, self.num_heads, name="attn")(
+            LayerNormFp32(self.dim, eps=self.eps, name="norm1")(x)
+        )
+        if self.layer_scale:
+            g1 = self.param("ls1", nn.initializers.ones, (self.dim,))
+            h = h * g1.astype(h.dtype)
+        x = x + h
+        h = ViTMLP(self.dim, self.mlp_dim, self.act, name="mlp")(
+            LayerNormFp32(self.dim, eps=self.eps, name="norm2")(x)
+        )
+        if self.layer_scale:
+            g2 = self.param("ls2", nn.initializers.ones, (self.dim,))
+            h = h * g2.astype(h.dtype)
+        return x + h
+
+
+class MAPHead(nn.Module):
+    """SigLIP multihead-attention-pooling head (probe token cross-attn,
+    torch nn.MultiheadAttention packed-qkv layout)."""
+
+    dim: int
+    num_heads: int
+    mlp_dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        probe = self.param(
+            "probe", lambda k, s: jax.random.normal(k, s, jnp.float32), (1, 1, self.dim)
+        )
+        # torch MultiheadAttention: packed in_proj (3E, E) + in_proj_bias.
+        in_proj_w = self.param(
+            "in_proj_weight",
+            nn.initializers.xavier_uniform(),
+            (3 * self.dim, self.dim),
+        )
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * self.dim,))
+        wq, wk, wv = jnp.split(in_proj_w, 3, axis=0)
+        bq, bk, bv = jnp.split(in_proj_b, 3, axis=0)
+
+        pr = jnp.broadcast_to(probe.astype(x.dtype), (B, 1, self.dim))
+        q = pr @ wq.T.astype(x.dtype) + bq.astype(x.dtype)
+        k = x @ wk.T.astype(x.dtype) + bk.astype(x.dtype)
+        v = x @ wv.T.astype(x.dtype) + bv.astype(x.dtype)
+        q = q.reshape(B, 1, h, d)
+        k = k.reshape(B, N, h, d)
+        v = v.reshape(B, N, h, d)
+        out = dot_product_attention(q, k, v).reshape(B, 1, self.dim)
+        out = Linear(self.dim, self.dim, name="out_proj")(out)
+
+        residual = out
+        out = LayerNormFp32(self.dim, eps=self.eps, name="layernorm")(out)
+        out = residual + ViTMLP(self.dim, self.mlp_dim, "gelu_tanh", name="mlp")(out)
+        return out[:, 0]
+
+
+class SigLIPVisionTower(nn.Module):
+    """HF SiglipVisionTransformer equivalent (see siglip2_utils.py wrapper).
+
+    Returns (hidden_states, last_hidden_state, pooled) with the HF
+    hidden-state convention: index 0 = embeddings output, i = block i output
+    — the layer-index contract of VFMEncoder (vfm_utils.py:31-38).
+    """
+
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    patch_size: int = 16
+    image_size: int = 512
+    eps: float = 1e-6
+    use_head: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        pixels: jnp.ndarray,  # NHWC in model input range
+        collect: Optional[Sequence[int]] = None,  # hidden-state indices to keep
+        interpolate_pos_encoding: bool = True,
+        need_pooled: bool = True,
+    ):
+        B, H, W, _ = pixels.shape
+        D = self.hidden_size
+        p = self.patch_size
+        grid = self.image_size // p
+
+        patch_w = self.param(
+            "patch_embedding_weight",
+            nn.initializers.lecun_normal(),
+            (p, p, pixels.shape[-1], D),
+        )
+        patch_b = self.param("patch_embedding_bias", nn.initializers.zeros, (D,))
+        x = jax.lax.conv_general_dilated(
+            pixels,
+            patch_w.astype(pixels.dtype),
+            (p, p),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = x + patch_b.astype(x.dtype)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, D)
+
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(1.0 / math.sqrt(D)),
+            (grid * grid, D),
+        )
+        if (gh, gw) != (grid, grid):
+            assert interpolate_pos_encoding, (gh, gw, grid)
+            pos_use = interpolate_pos_embed(pos, grid, gh, gw, mode="bicubic")
+        else:
+            pos_use = pos
+        x = x + pos_use.astype(x.dtype)[None]
+
+        collect_set = set(collect) if collect is not None else set(range(self.num_layers + 1))
+        hidden_states: Dict[int, jnp.ndarray] = {}
+        if 0 in collect_set:
+            hidden_states[0] = x
+        for i in range(self.num_layers):
+            x = ViTBlock(
+                D, self.num_heads, self.mlp_dim, eps=self.eps, act="gelu_tanh",
+                name=f"layers_{i}",
+            )(x)
+            if (i + 1) in collect_set:
+                hidden_states[i + 1] = x
+
+        last = LayerNormFp32(D, eps=self.eps, name="post_layernorm")(x)
+        pooled = None
+        if self.use_head and need_pooled:
+            pooled = MAPHead(D, self.num_heads, self.mlp_dim, eps=self.eps, name="head")(last)
+        return hidden_states, last, pooled
