@@ -49,6 +49,38 @@ def _install_timm_stub():
     sys.modules["timm.models.layers"] = models_layers
 
 
+def _install_torchvision_stub():
+    if "torchvision" in sys.modules:
+        return
+    try:
+        import torchvision  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+
+    def normalize(tensor, mean, std, inplace=False):
+        import torch
+
+        mean = torch.as_tensor(mean, dtype=tensor.dtype, device=tensor.device)
+        std = torch.as_tensor(std, dtype=tensor.dtype, device=tensor.device)
+        if mean.ndim == 1:
+            mean = mean.view(1, -1, 1, 1)
+        if std.ndim == 1:
+            std = std.view(1, -1, 1, 1)
+        return (tensor - mean) / std
+
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+    functional.normalize = normalize
+    transforms.functional = functional
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
 def _install_pkg_resources_stub():
     if "pkg_resources" in sys.modules:
         return
@@ -75,6 +107,7 @@ def import_reference(module: str):
     """Import a module from the reference repo (e.g. 'torch_utils.ops.upfirdn2d')."""
     _install_timm_stub()
     _install_pkg_resources_stub()
+    _install_torchvision_stub()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib

@@ -296,6 +296,160 @@ def convert_ldm_adapter(sd, prefix: str, how_to_compress: str, how_to_decompress
     return p, b
 
 
+# ---------------------------------------------------------------- synthesis
+
+
+def convert_synthesis_input(sd, prefix: str):
+    p = {
+        "weight": _arr(sd[prefix + "weight"]),
+        "affine": convert_fcl(sd, prefix + "affine."),
+    }
+    b = {
+        "transform": _arr(sd[prefix + "transform"]),
+        "freqs": _arr(sd[prefix + "freqs"]),
+        "phases": _arr(sd[prefix + "phases"]),
+    }
+    return p, b
+
+
+def convert_zconv(sd, prefix: str, kind: str) -> Dict[str, Any]:
+    """z_convs.{idx} Sequential (generator.py:726-784). kind in
+    {'down' (unshuffle,3x3,1x1), 'same' (3x3,1x1), 'up' (3x3,shuffle,1x1)}."""
+    if kind == "down":
+        i3, i1 = 1, 2
+    elif kind == "same":
+        i3, i1 = 0, 1
+    else:
+        i3, i1 = 0, 2
+    return {
+        "conv0_dw": {"weight": _conv(sd[prefix + f"{i3}.0.weight"])},
+        "conv0_pw": {"weight": _conv(sd[prefix + f"{i3}.1.weight"])},
+        "conv0_gn": convert_groupnorm(sd, prefix + f"{i3}.2."),
+        "conv1_pw": {"weight": _conv(sd[prefix + f"{i1}.0.weight"])},
+        "conv1_gn": convert_groupnorm(sd, prefix + f"{i1}.1."),
+    }
+
+
+def convert_synthesis_block(sd, prefix: str, legacy: bool = False, use_convnext: bool = True):
+    """SynthesisBlock (generator.py:322). Returns (params, buffers)."""
+    p: Dict[str, Any] = {}
+    b: Dict[str, Any] = {}
+    if use_convnext:
+        if prefix + "seperate_upsample_conv.depthwise.weight" in sd:
+            p["seperate_upsample_conv"] = convert_separable_upsample(
+                sd, prefix + "seperate_upsample_conv."
+            )
+        if prefix + "conv0.dwconv.weight" in sd:
+            p["conv0"], bb = convert_convnext_layer(sd, prefix + "conv0.", legacy)
+            if bb:
+                b["conv0"] = bb
+        i = 0
+        while prefix + f"convs1.{i}.dwconv.weight" in sd:
+            p[f"convs1_{i}"], bb = convert_convnext_layer(sd, prefix + f"convs1.{i}.", legacy)
+            if bb:
+                b[f"convs1_{i}"] = bb
+            i += 1
+        if prefix + "torgb.weight" in sd:
+            p["torgb"] = convert_convnext_torgb(sd, prefix + "torgb.")
+        if prefix + "last_upsample_conv.depthwise.weight" in sd:
+            p["last_upsample_conv"] = convert_separable_upsample(sd, prefix + "last_upsample_conv.")
+    if prefix + "input.weight" in sd:
+        p["input"], b["input"] = convert_synthesis_input(sd, prefix + "input.")
+    i = 0
+    while prefix + f"self_attns.{i}.attn.to_q.weight" in sd:
+        p[f"self_attns_{i}"] = convert_self_attention_block(sd, prefix + f"self_attns.{i}.")
+        i += 1
+    i = 0
+    while prefix + f"cross_attns.{i}.attn.to_q.weight" in sd:
+        p[f"cross_attns_{i}"] = convert_cross_attention_block(sd, prefix + f"cross_attns.{i}.")
+        i += 1
+    return p, b
+
+
+def convert_mapping(sd, prefix: str):
+    p: Dict[str, Any] = {"mlp": {}}
+    i = 0
+    while prefix + f"mlp.fc{i}.weight" in sd:
+        p["mlp"][f"fc{i}"] = convert_fcl(sd, prefix + f"mlp.fc{i}.")
+        i += 1
+    if prefix + "embed.weight" in sd:
+        p["embed"] = convert_fcl(sd, prefix + "embed.")
+    b = {"x_avg": _arr(sd[prefix + "x_avg"])} if prefix + "x_avg" in sd else {}
+    return p, b
+
+
+def convert_generator(
+    sd: Dict[str, np.ndarray],
+    *,
+    how_to_compress: str = "attnproj",
+    how_to_decompress: str = "attnproj",
+    compression_mode: str = "continuous",
+    use_vf_loss: bool = False,
+    legacy: bool = False,
+    use_convnext: bool = True,
+    z_resolution: int = 16,
+    concat_z_block_indices: Sequence[int] = (),
+    block_resolutions: Sequence[int] = (),
+    prefix: str = "",
+):
+    """Full reference Generator state_dict -> (params, buffers) pytrees.
+
+    This is the production .pth importer (tools/import_checkpoint.py wraps
+    it); layout notes at module top. ``block_resolutions`` is needed to pick
+    the z_convs sequential layout per block (generator.py:729-782)."""
+    from typing import Sequence as _Seq  # noqa
+
+    params: Dict[str, Any] = {}
+    buffers: Dict[str, Any] = {}
+
+    # Frozen VFM tower (SigLIP2Encoder.vision_model = HF SiglipVisionModel).
+    vfm_prefix = prefix + "vfm_encoder.encoder.vision_model."
+    if any(k.startswith(vfm_prefix) for k in sd):
+        params["vfm_encoder"] = {
+            "tower": convert_siglip_vision(sd, vfm_prefix + "vision_model.")
+        }
+
+    # Adapter.
+    ap, ab = convert_ldm_adapter(
+        sd, prefix + "ldm_adapter.", how_to_compress, how_to_decompress,
+        compression_mode, use_vf_loss,
+    )
+    params["ldm_adapter"] = ap
+    if ab:
+        buffers["ldm_adapter"] = ab
+
+    # Mapping.
+    mp, mb = convert_mapping(sd, prefix + "mapping.")
+    params["mapping"] = mp
+    if mb:
+        buffers["mapping"] = mb
+
+    # Synthesis.
+    syn_p: Dict[str, Any] = {}
+    syn_b: Dict[str, Any] = {}
+    for idx, res in enumerate(block_resolutions):
+        bp, bb = convert_synthesis_block(
+            sd, prefix + f"synthesis.blocks.{idx}.", legacy, use_convnext
+        )
+        syn_p[f"b{idx}"] = bp
+        if bb:
+            syn_b[f"b{idx}"] = bb
+        if idx in list(concat_z_block_indices):
+            if res < z_resolution * 2:
+                kind = "down"
+            elif res == z_resolution * 2:
+                kind = "same"
+            else:
+                kind = "up"
+            syn_p[f"z_convs_{idx}"] = convert_zconv(
+                sd, prefix + f"synthesis.z_convs.{idx}.", kind
+            )
+    params["synthesis"] = syn_p
+    if syn_b:
+        buffers["synthesis"] = syn_b
+    return params, buffers
+
+
 def siglip_tower_config(hf_config) -> Dict[str, Any]:
     """Kwargs for SigLIPVisionTower from an HF SiglipVisionConfig."""
     return dict(

@@ -1,0 +1,195 @@
+"""Frozen vision-foundation-model encoder facade.
+
+Reference: networks/utils/vfm_utils.py (dispatch by name substring,
+layer-index convention) + vfms/siglip2_utils.py (preprocessing: optional
+EQ-prior antialiased downscale -> scale_factor bilinear resize -> normalize
+mean/std 0.5). DINOv2 / MAE / EVA / Qwen towers plug into the same dispatch
+as they land (SURVEY.md section 2.3 rows).
+
+The tower runs frozen: outputs are wrapped in stop_gradient and its params
+are masked out of the optimizer (train/optim.py), mirroring requires_grad_(False).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import resize_bilinear
+from .vit import SigLIPVisionTower
+
+# Known tower geometries (config.json values of the HF checkpoints the
+# reference names in configs/*.yaml:36; hardcoded so the framework does not
+# need HF hub access at build time).
+VFM_PRESETS: Dict[str, Dict[str, Any]] = {
+    "siglip2-large-patch16-512": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+        patch_size=16, image_size=512, text_hidden_size=1024,
+    ),
+    "siglip2-large-patch16-256": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+        patch_size=16, image_size=256, text_hidden_size=1024,
+    ),
+    "siglip2-base-patch16-256": dict(
+        hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
+        patch_size=16, image_size=256, text_hidden_size=768,
+    ),
+    "siglip2-so400m-patch16-512": dict(
+        hidden_size=1152, num_layers=27, num_heads=16, mlp_dim=4304,
+        patch_size=16, image_size=512, text_hidden_size=1152,
+    ),
+}
+
+VFM2INTERPOLATION = {
+    "siglip": "bilinear",
+    "qwen": "bicubic",
+    "dino": "bicubic",
+    "mae": "bilinear",
+    "eva": "bicubic",
+}
+
+
+def infer_patch_size(model_name: str, default: int = 16) -> int:
+    m = re.search(r"patch(\d+)", model_name.lower())
+    return int(m.group(1)) if m else default
+
+
+def vfm_family(model_name: str) -> str:
+    n = model_name.lower()
+    for fam in ("qwen", "siglip", "dinov2", "mae", "eva"):
+        if fam in n:
+            return "siglip" if fam == "siglip" else fam
+    raise ValueError(f"unknown VFM family for {model_name!r}")
+
+
+def vfm_preset(model_name: str) -> Dict[str, Any]:
+    base = model_name.rstrip("/").split("/")[-1].lower()
+    for key, preset in VFM_PRESETS.items():
+        if key in base:
+            return preset
+    # Fall back to a local HF config.json if the name is a path.
+    import json
+    import os
+
+    cfg_path = os.path.join(model_name, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        v = cfg.get("vision_config", cfg)
+        return dict(
+            hidden_size=v["hidden_size"],
+            num_layers=v["num_hidden_layers"],
+            num_heads=v["num_attention_heads"],
+            mlp_dim=v["intermediate_size"],
+            patch_size=v["patch_size"],
+            image_size=v["image_size"],
+            text_hidden_size=cfg.get("text_config", {}).get("hidden_size", v["hidden_size"]),
+        )
+    raise ValueError(f"no preset or local config for VFM {model_name!r}")
+
+
+class VFMEncoder(nn.Module):
+    """Dispatching frozen encoder (vfm_utils.py:26-123)."""
+
+    model_name: str
+    scale_factor: float
+    patch_from_layers: Sequence[int]
+    conditional: bool = False
+    label_type: str = "cls2text"
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def family(self) -> str:
+        return vfm_family(self.model_name)
+
+    @property
+    def preset(self) -> Dict[str, Any]:
+        return vfm_preset(self.model_name)
+
+    @property
+    def patch_size(self) -> int:
+        return self.preset["patch_size"]
+
+    @property
+    def text_hidden_size(self) -> int:
+        return self.preset["text_hidden_size"]
+
+    def setup(self):
+        fam = self.family
+        p = self.preset
+        if fam == "siglip":
+            self.tower = SigLIPVisionTower(
+                hidden_size=p["hidden_size"],
+                num_layers=p["num_layers"],
+                num_heads=p["num_heads"],
+                mlp_dim=p["mlp_dim"],
+                patch_size=p["patch_size"],
+                image_size=p["image_size"],
+                name="tower",
+            )
+        else:
+            raise NotImplementedError(
+                f"VFM family {fam!r} tower not yet implemented in the TPU build"
+            )
+
+    def _hidden_indices(self) -> List[int]:
+        """Map patch_from_layers (vfm_utils.py:31-38) to hidden-state
+        indices; -1 means post-LN final sequence (handled separately)."""
+        n = self.preset["num_layers"]
+        idxs = []
+        for i in self.patch_from_layers:
+            if i == -1:
+                continue
+            idxs.append(i if i >= 0 else n + (i + 1))
+        return idxs
+
+    def preprocess(
+        self, img: jnp.ndarray, eq_scale_factor: float = 1.0, is_eq_prior: bool = False
+    ) -> jnp.ndarray:
+        """[0,1] NHWC -> model input (siglip2_utils.py:94-110)."""
+        if is_eq_prior and eq_scale_factor < 1.0:
+            img = resize_bilinear(img, scale_factor=eq_scale_factor, antialias=True)
+        if self.scale_factor != 1.0:
+            img = resize_bilinear(
+                img, scale_factor=self.scale_factor, antialias=(self.scale_factor < 1.0)
+            )
+        mean, std = 0.5, 0.5
+        return (img - mean) / std
+
+    def encode_image(
+        self,
+        img: jnp.ndarray,  # (B, H, W, 3) float in [0,1]
+        eq_scale_factor: float = 1.0,
+        is_eq_prior: bool = False,
+        need_pooled: bool = True,
+    ) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
+        x = self.preprocess(img, eq_scale_factor, is_eq_prior)
+        x = x.astype(self.compute_dtype)
+        collect = self._hidden_indices()
+        hs, last, pooled = self.tower(
+            x, collect=collect, interpolate_pos_encoding=True, need_pooled=need_pooled
+        )
+        n = self.preset["num_layers"]
+        feats = []
+        for i in self.patch_from_layers:
+            if i == -1:
+                feats.append(last)
+            else:
+                feats.append(hs[i if i >= 0 else n + (i + 1)])
+        # Frozen backbone: fp32 outputs, no grads (siglip2_utils.py:114-137).
+        feats = [jax.lax.stop_gradient(f.astype(jnp.float32)) for f in feats]
+        pooled = (
+            jax.lax.stop_gradient(pooled.astype(jnp.float32)) if pooled is not None else None
+        )
+        return feats, pooled
+
+    def encode_text(self, text):
+        """Text branch (siglip2_utils.py:139-164). Only needed for
+        conditional text/cls2text configs; returns None triple otherwise."""
+        if not (self.conditional and self.label_type in ("text", "cls2text")):
+            return None, None, None
+        raise NotImplementedError("SigLIP2 text tower lands with the conditional path")
