@@ -15,14 +15,24 @@ import numpy as np
 REFERENCE_ROOT = "/root/reference"
 
 
+def _mk_module(name: str) -> types.ModuleType:
+    """Stub module with a valid __spec__ (importlib.util.find_spec chokes
+    on spec-less modules, which transformers probes for timm)."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_timm_stub():
     if "timm" in sys.modules and not getattr(sys.modules["timm"], "_is_stub", False):
         return
     import torch.nn as nn
 
-    timm = types.ModuleType("timm")
+    timm = _mk_module("timm")
     timm._is_stub = True
-    layers = types.ModuleType("timm.layers")
+    layers = _mk_module("timm.layers")
 
     def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
         import torch
@@ -37,8 +47,18 @@ def _install_timm_stub():
     layers.trunc_normal_ = trunc_normal_
     layers.get_norm_layer = get_norm_layer
     timm.layers = layers
-    models = types.ModuleType("timm.models")
-    models_layers = types.ModuleType("timm.models.layers")
+    data = _mk_module("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    timm.data = data
+    sys.modules["timm.data"] = data
+
+    def create_model(*args, **kwargs):
+        raise RuntimeError("timm stub: no pretrained models available offline")
+
+    timm.create_model = create_model
+    models = _mk_module("timm.models")
+    models_layers = _mk_module("timm.models.layers")
     models_layers.trunc_normal_ = trunc_normal_
     models_layers.get_norm_layer = get_norm_layer
     models.layers = models_layers
@@ -70,11 +90,34 @@ def _install_torchvision_stub():
             std = std.view(1, -1, 1, 1)
         return (tensor - mean) / std
 
-    tv = types.ModuleType("torchvision")
-    transforms = types.ModuleType("torchvision.transforms")
-    functional = types.ModuleType("torchvision.transforms.functional")
+    tv = _mk_module("torchvision")
+    transforms = _mk_module("torchvision.transforms")
+    functional = _mk_module("torchvision.transforms.functional")
     functional.normalize = normalize
     transforms.functional = functional
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, tensor):
+            return normalize(tensor, list(self.mean), list(self.std))
+
+    class RandomCrop:
+        def __init__(self, size):
+            self.size = size
+
+        def __call__(self, img):
+            import random
+
+            h, w = img.shape[-2:]
+            th = tw = self.size if isinstance(self.size, int) else self.size[0]
+            i = random.randint(0, h - th)
+            j = random.randint(0, w - tw)
+            return img[..., i : i + th, j : j + tw]
+
+    transforms.Normalize = Normalize
+    transforms.RandomCrop = RandomCrop
     tv.transforms = transforms
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
@@ -92,7 +135,7 @@ def _install_pkg_resources_stub():
         pass
     from packaging.version import parse as parse_version
 
-    stub = types.ModuleType("pkg_resources")
+    stub = _mk_module("pkg_resources")
     stub.parse_version = parse_version
     sys.modules["pkg_resources"] = stub
 

@@ -27,7 +27,9 @@ def _conv(w) -> np.ndarray:
 
 
 def _arr(w) -> np.ndarray:
-    return np.asarray(w)
+    # Copy: torch `.numpy()` views share storage with the live module, and
+    # ops like SpectralNorm's power iteration mutate buffers in place.
+    return np.array(w, copy=True)
 
 
 def _set(tree: Dict[str, Any], path: str, value: np.ndarray) -> None:
@@ -294,6 +296,158 @@ def convert_ldm_adapter(sd, prefix: str, how_to_compress: str, how_to_decompress
         p["quantizer"] = q
         b["quantizer"] = qb
     return p, b
+
+
+# ------------------------------------------------------------- discriminator
+
+
+def convert_spectral_conv1d(sd, prefix: str):
+    """torch SpectralNorm state: weight_orig / weight_u / weight_v."""
+    p = {"weight": _arr(sd[prefix + "weight_orig"]), "bias": _arr(sd[prefix + "bias"])}
+    b = {"u": _arr(sd[prefix + "weight_u"]), "v": _arr(sd[prefix + "weight_v"])}
+    return p, b
+
+
+def convert_disc_head(sd, prefix: str, c_dim: int = 0):
+    """DiscHead (discriminator.py:116-142): main = [make_block(k1),
+    Residual(make_block(k9))]; block = [SpectralConv1d, BatchNormLocal]."""
+    p: Dict[str, Any] = {}
+    b: Dict[str, Any] = {}
+    for ours, theirs in (("main0", "main.0."), ("main1", "main.1.fn.")):
+        cp, cb = convert_spectral_conv1d(sd, prefix + theirs + "0.")
+        p[ours] = {
+            "conv": cp,
+            "bn": {
+                "weight": _arr(sd[prefix + theirs + "1.weight"]),
+                "bias": _arr(sd[prefix + theirs + "1.bias"]),
+            },
+        }
+        b[ours] = {"conv": cb}
+    cp, cb = convert_spectral_conv1d(sd, prefix + "cls.")
+    p["cls"], b["cls"] = cp, cb
+    if c_dim > 0:
+        p["cmapper"] = convert_fcl(sd, prefix + "cmapper.")
+    return p, b
+
+
+def convert_dino_timm(sd, prefix: str = "model.model.") -> Dict[str, Any]:
+    """timm vit_small_patch16_224_dino state_dict -> DINOBackbone params.
+    timm fuses qkv; we split into q/k/v projections."""
+    p: Dict[str, Any] = {
+        "patch_weight": _conv(sd[prefix + "patch_embed.proj.weight"]),
+        "patch_bias": _arr(sd[prefix + "patch_embed.proj.bias"]),
+        "cls_token": _arr(sd[prefix + "cls_token"]),
+        "pos_embed": np.asarray(sd[prefix + "pos_embed"])[0],
+    }
+    i = 0
+    while prefix + f"blocks.{i}.norm1.weight" in sd:
+        lp = f"blocks.{i}."
+        qkv_w = np.asarray(sd[prefix + lp + "attn.qkv.weight"])  # (3D, D)
+        qkv_b = np.asarray(sd[prefix + lp + "attn.qkv.bias"])
+        D = qkv_w.shape[1]
+        blk = {
+            "norm1": convert_layernorm(sd, prefix + lp + "norm1."),
+            "norm2": convert_layernorm(sd, prefix + lp + "norm2."),
+            "attn": {
+                "q_proj": {"weight": _t(qkv_w[:D]), "bias": qkv_b[:D]},
+                "k_proj": {"weight": _t(qkv_w[D : 2 * D]), "bias": qkv_b[D : 2 * D]},
+                "v_proj": {"weight": _t(qkv_w[2 * D :]), "bias": qkv_b[2 * D :]},
+                "out_proj": convert_linear(sd, prefix + lp + "attn.proj."),
+            },
+            "mlp": {
+                "fc1": convert_linear(sd, prefix + lp + "mlp.fc1."),
+                "fc2": convert_linear(sd, prefix + lp + "mlp.fc2."),
+            },
+        }
+        p[f"blocks_{i}"] = blk
+        i += 1
+    return p
+
+
+def convert_nlayer_discriminator(sd, prefix: str, n_layers: int = 3, get_interm_feat: bool = False,
+                                 scale_fmt: Optional[str] = None) -> Dict[str, Any]:
+    """NLayerDiscriminator (discriminator.py:180-228). When get_interm_feat,
+    torch names are scale{i}_layer{j} via scale_fmt; else one flat Sequential."""
+    p: Dict[str, Any] = {}
+    if get_interm_feat:
+        assert scale_fmt is not None
+        # layer0 = [conv, lrelu]; layers 1..n = [conv, bn, lrelu]; last = [conv]
+        p["conv0"] = {
+            "weight": _conv(sd[prefix + scale_fmt.format(0) + ".0.weight"]),
+            "bias": _arr(sd[prefix + scale_fmt.format(0) + ".0.bias"]),
+        }
+        for j in range(1, n_layers + 1):
+            p[f"conv{j}"] = {
+                "weight": _conv(sd[prefix + scale_fmt.format(j) + ".0.weight"]),
+                "bias": _arr(sd[prefix + scale_fmt.format(j) + ".0.bias"]),
+            }
+            p[f"bn{j}"] = {
+                "weight": _arr(sd[prefix + scale_fmt.format(j) + ".1.weight"]),
+                "bias": _arr(sd[prefix + scale_fmt.format(j) + ".1.bias"]),
+            }
+        p[f"conv{n_layers + 1}"] = {
+            "weight": _conv(sd[prefix + scale_fmt.format(n_layers + 1) + ".0.weight"]),
+            "bias": _arr(sd[prefix + scale_fmt.format(n_layers + 1) + ".0.bias"]),
+        }
+    else:
+        # Flat Sequential indices: conv at 0, then (conv, bn) pairs at
+        # (2,3), (5,6), (8,9), final conv at 11 for n_layers=3.
+        seq = 0
+        p["conv0"] = {
+            "weight": _conv(sd[prefix + f"{seq}.weight"]),
+            "bias": _arr(sd[prefix + f"{seq}.bias"]),
+        }
+        seq = 2
+        for j in range(1, n_layers + 1):
+            p[f"conv{j}"] = {
+                "weight": _conv(sd[prefix + f"{seq}.weight"]),
+                "bias": _arr(sd[prefix + f"{seq}.bias"]),
+            }
+            p[f"bn{j}"] = {
+                "weight": _arr(sd[prefix + f"{seq + 1}.weight"]),
+                "bias": _arr(sd[prefix + f"{seq + 1}.bias"]),
+            }
+            seq += 3
+        p[f"conv{n_layers + 1}"] = {
+            "weight": _conv(sd[prefix + f"{seq}.weight"]),
+            "bias": _arr(sd[prefix + f"{seq}.bias"]),
+        }
+    return p
+
+
+def convert_multiscale_discriminator(sd, prefix: str, num_D: int = 3, n_layers: int = 3,
+                                     get_interm_feat: bool = True) -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+    for i in range(num_D):
+        if get_interm_feat:
+            p[f"scale{i}"] = convert_nlayer_discriminator(
+                sd, prefix, n_layers, True, scale_fmt=f"scale{i}_layer{{}}"
+            )
+        else:
+            p[f"scale{i}"] = convert_nlayer_discriminator(
+                sd, prefix + f"layer{i}.", n_layers, False
+            )
+    return p
+
+
+def convert_projected_discriminator(
+    sd, prefix: str = "", c_dim: int = 0,
+    use_stylegan_t: bool = True, use_patchgan: bool = False,
+    get_interm_feat: bool = True, n_hooks: int = 5,
+):
+    params: Dict[str, Any] = {}
+    buffers: Dict[str, Any] = {}
+    if use_stylegan_t:
+        params["dino"] = convert_dino_timm(sd, prefix + "dino.model.model.")
+        for i in range(n_hooks):
+            hp, hb = convert_disc_head(sd, prefix + f"heads.{i}.", c_dim)
+            params[f"heads_{i}"] = hp
+            buffers[f"heads_{i}"] = hb
+    if use_patchgan:
+        params["patchgan"] = convert_multiscale_discriminator(
+            sd, prefix + "patchgan_discriminator.", get_interm_feat=get_interm_feat
+        )
+    return params, buffers
 
 
 # ---------------------------------------------------------------- synthesis
