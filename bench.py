@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Throughput benchmark: 256px encode+decode images/sec on one chip.
+
+Target (BASELINE.md): >= 3000 img/s/chip on TPU v5e for the flagship
+f16d32 SigLIP2-L tokenizer (encode 256px -> z 16x16x32 -> decode 256px).
+Prints ONE JSON line {metric, value, unit, vs_baseline}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET = 3000.0  # img/s/chip (BASELINE.json)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry
+
+    fn, (variables, _) = entry()
+
+    batch = 32
+    img = jnp.asarray(
+        np.random.default_rng(0).random((batch, 256, 256, 3)), jnp.float32
+    )
+    jfn = jax.jit(fn)
+
+    # Warm up / compile.
+    out = jfn(variables, img)
+    jax.block_until_ready(out)
+
+    # Timed runs.
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(variables, img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "encode_decode_256px_throughput",
+                "value": round(img_per_sec, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec / TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Integration test: full dual-phase train step on the 8-device CPU mesh.
+
+Covers: G forward w/ aux losses, D dual-branch forward, LPIPS, the vjp-based
+G step with adaptive VF weight, safe-loss state, EMA, optimizer masking
+(frozen VFM + DINO), and batch sharding over the mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+    import torch
+
+    d = tmp_path_factory.mktemp("vfm") / "siglip2-tiny-patch8-32"
+    cfg = SiglipVisionConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8, num_channels=3,
+    )
+    torch.manual_seed(0)
+    SiglipVisionModel(cfg).save_pretrained(d)
+
+    from tests.test_generator_parity import G_KWARGS
+    from vfm_vae_tpu.models.generator import Generator, trainable_path_predicates, trainable_mask
+    from vfm_vae_tpu.models.discriminator import ProjectedDiscriminator
+    from vfm_vae_tpu.train.lpips import LPIPS
+    from vfm_vae_tpu.train.loss import TotalLoss, init_loss_state
+    from vfm_vae_tpu.train.train_step import Trainer, TrainState
+    from vfm_vae_tpu.train.optim import Adam
+
+    gk = dict(G_KWARGS)
+    gk["use_adaptive_vf_loss"] = True
+    G = Generator(vfm_name=str(d), **gk)
+    D = ProjectedDiscriminator(
+        c_dim=0, vfm_name="siglip2", use_patchgan_discriminator=True,
+        get_interm_feat=True,
+        dino_kwargs=dict(
+            hidden_size=48, num_layers=2, num_heads=4, mlp_dim=96,
+            patch_size=8, image_size=32, hooks=(0, 1), hook_patch=True,
+        ),
+    )
+    lpips = LPIPS()
+
+    img = jnp.zeros((2, 32, 32, 3))
+    gv = G.init({"params": jax.random.PRNGKey(0)}, img, train=False)
+    dv = D.init({"params": jax.random.PRNGKey(1)}, img, train=False)
+    lpips_params = lpips.init(jax.random.PRNGKey(2), img, img)["params"]
+
+    loss = TotalLoss(
+        G, D, vfm_name=str(d),
+        use_equivariance_regularization=True,
+        lpips_module=lpips,
+        l1_pixel_loss_weight=1.0,
+        perceptual_loss_weight=10.0,
+        multiscale_pixel_loss_weights=[0.1, 0.1, 0.1],
+        multiscale_block_indices=[0, 1, 2],
+        vf_loss_weight=5.0,
+        use_adaptive_vf_loss=True,
+        kl_loss_weight=1e-6,
+        stylegan_t_discriminator_loss_weight=1.0,
+        patchgan_discriminator_loss_weight=1.0,
+        feature_matching_loss_weight=10.0,
+    )
+
+    preds = trainable_path_predicates("train_all")
+    mask = trainable_mask(gv["params"], preds)
+
+    # D trainable mask: everything but the frozen DINO backbone.
+    import flax.traverse_util as tu
+
+    d_flat = tu.flatten_dict(dv["params"], sep="/")
+    d_mask = tu.unflatten_dict(
+        {k: not k.startswith("dino/") for k in d_flat}, sep="/"
+    )
+
+    g_tx = Adam(1e-4, mask=mask)
+    d_tx = Adam(1e-4, mask=d_mask)
+    trainer = Trainer(
+        loss, g_tx, d_tx, lpips_params=lpips_params,
+        g_trainable_mask=mask,
+        vf_anchor_path=("ldm_adapter",) + tuple(
+            # attnproj: final_quant.blocks[-1].mlp.w2.weight
+            ["final_quant", "blocks_0", "mlp", "w2", "weight"]
+        ),
+        batch_size=8, ema_kimg=1.0, ema_rampup=0.05,
+    )
+
+    state = TrainState(
+        g_params=gv["params"],
+        d_params=dv["params"],
+        g_bufs=gv.get("buffers", {}),
+        d_bufs=dv.get("buffers", {}),
+        ema_params=gv["params"],
+        g_opt=g_tx.init(gv["params"]),
+        d_opt=d_tx.init(dv["params"]),
+        loss_state=init_loss_state(),
+        cur_nimg=jnp.zeros((), jnp.float32),
+    )
+    return trainer, state, mask
+
+
+def test_dual_phase_step(rig, mesh8):
+    from vfm_vae_tpu.parallel import shard_batch
+    import flax.traverse_util as tu
+
+    trainer, state, mask = rig
+    rng = jax.random.PRNGKey(42)
+    real = np.random.default_rng(0).random((8, 32, 32, 3)).astype(np.float32)
+
+    with jax.sharding.set_mesh(mesh8):
+        real_sh = shard_batch(mesh8, jnp.asarray(real))
+        d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
+        g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+
+        state1, d_stats, d_total = d_step(state, real_sh, None, rng, (1.0, 0, False))
+        assert np.isfinite(float(d_total))
+
+        state2, g_stats, g_total = g_step(state1, real_sh, None, rng, (1.0, 0, False))
+        assert np.isfinite(float(g_total))
+        assert float(state2.cur_nimg) == 8
+
+    # Frozen VFM params unchanged; trainable params changed.
+    p0 = tu.flatten_dict(state.g_params, sep="/")
+    p2 = tu.flatten_dict(state2.g_params, sep="/")
+    m = tu.flatten_dict(mask, sep="/")
+    changed = [k for k in p0 if np.any(np.asarray(p0[k]) != np.asarray(p2[k]))]
+    assert any(k.startswith("synthesis/") for k in changed)
+    assert any(k.startswith("ldm_adapter/") for k in changed)
+    for k in changed:
+        assert m[k], f"frozen param {k} changed"
+    assert not any(k.startswith("vfm_encoder/") for k in changed)
+
+    # EMA moved toward the new params on trainable leaves.
+    e2 = tu.flatten_dict(state2.ema_params, sep="/")
+    some_key = next(k for k in changed if m[k])
+    assert np.any(np.asarray(e2[some_key]) != np.asarray(p0[some_key]))
+
+    # Key stats present.
+    assert "Loss/G/l1_pixel_loss" in g_stats
+    assert "Loss/G/vf_loss" in g_stats
+    assert "Loss/D/stylegan_t/loss" in d_stats
+
+
+def test_eq_bucket_step(rig, mesh8):
+    """A non-trivial EQ bucket compiles and runs (different output shapes)."""
+    from vfm_vae_tpu.parallel import shard_batch
+
+    trainer, state, _ = rig
+    rng = jax.random.PRNGKey(7)
+    real = np.random.default_rng(1).random((8, 32, 32, 3)).astype(np.float32)
+    with jax.sharding.set_mesh(mesh8):
+        real_sh = shard_batch(mesh8, jnp.asarray(real))
+        g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+        state1, stats, total = g_step(state, real_sh, None, rng, (0.5, 1, False))
+        assert np.isfinite(float(total))

@@ -165,7 +165,7 @@ class ChannelRMSNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
         xf = x.astype(jnp.float32)
-        normed = xf / jnp.clip(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-12)
+        normed = l2_normalize(xf, axis=-1)
         return (normed * math.sqrt(self.dim) * gamma.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -178,7 +178,7 @@ class RMSNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
         xf = x.astype(jnp.float32)
-        normed = xf / jnp.clip(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-12)
+        normed = l2_normalize(xf, axis=-1)
         return (normed * math.sqrt(self.dim) * gamma.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -262,6 +262,9 @@ def normalize_2nd_moment(x: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> j
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize semantics (clamped norm)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.clip(n, eps)
+    """torch F.normalize semantics (clamped norm). Gradient-safe at x == 0:
+    the max() below routes the sqrt backward to a constant, where JAX's
+    norm-at-zero gradient would be NaN (torch defines it as 0)."""
+    n2 = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(n2, eps * eps))
+    return x / n

@@ -1,0 +1,89 @@
+"""Checkpoint / auto-resume (reference: training_loop.py:781-801 snapshots,
+train.py:23-42 newest-snapshot discovery, :230-264 key-report loading).
+
+Orbax-backed; a snapshot holds {G, D, G_ema, buffers, opt states, loss
+state, cur_nimg} — unlike the reference we DO checkpoint optimizer state
+(the reference restarts Adam fresh on resume, training_loop.py:364 note).
+Directory naming keeps the reference contract: network-snapshot-{kimg:08d}.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+SNAPSHOT_RE = re.compile(r"network-snapshot-(\d+)$")
+
+
+def snapshot_name(kimg: int) -> str:
+    return f"network-snapshot-{kimg:08d}"
+
+
+def find_latest_snapshot(run_dir: str) -> Optional[Tuple[str, int]]:
+    """Newest snapshot by kimg (reference: train.py:23-42)."""
+    if not os.path.isdir(run_dir):
+        return None
+    best = None
+    for name in os.listdir(run_dir):
+        m = SNAPSHOT_RE.match(name)
+        if m:
+            kimg = int(m.group(1))
+            if best is None or kimg > best[1]:
+                best = (os.path.join(run_dir, name), kimg)
+    return best
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_snapshot(run_dir: str, kimg: int, state_dict: dict) -> str:
+    """state_dict: a pytree of arrays (TrainState fields as plain dict)."""
+    path = os.path.abspath(os.path.join(run_dir, snapshot_name(kimg)))
+    ckpt = _checkpointer()
+    ckpt.save(path, state_dict, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_snapshot(path: str, template: Optional[dict] = None) -> dict:
+    ckpt = _checkpointer()
+    if template is not None:
+        return ckpt.restore(path, template)
+    return ckpt.restore(path)
+
+
+def report_key_diff(loaded: dict, template: dict, prefix: str = "") -> Tuple[list, list]:
+    """Missing/unexpected key report (reference: training_loop.py:230-264)."""
+    import flax.traverse_util as tu
+
+    got = set(tu.flatten_dict(loaded, sep="/"))
+    want = set(tu.flatten_dict(template, sep="/"))
+    missing = sorted(want - got)
+    unexpected = sorted(got - want)
+    for k in missing:
+        print(f"[resume]{prefix} missing key: {k}")
+    for k in unexpected:
+        print(f"[resume]{prefix} unexpected key: {k}")
+    return missing, unexpected
+
+
+def merge_loaded(template: dict, loaded: dict) -> dict:
+    """strict=False load: take loaded values where paths+shapes match."""
+    import flax.traverse_util as tu
+
+    t = tu.flatten_dict(template, sep="/")
+    l = tu.flatten_dict(loaded, sep="/")
+    out = {}
+    for k, v in t.items():
+        if k in l and np.shape(l[k]) == np.shape(v):
+            out[k] = l[k]
+        else:
+            out[k] = v
+    return tu.unflatten_dict(out, sep="/")

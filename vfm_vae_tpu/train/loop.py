@@ -1,0 +1,351 @@
+"""Main training loop (reference: training/training_loop.py:462-881).
+
+Orchestration only — all numerics live in jitted steps (train_step.py).
+Per batch: [D-phase, G-phase] jitted updates with host-sampled EQ buckets;
+per tick: status line, stats.jsonl, image + network snapshots, auto-resume
+bookkeeping. Collectives, grad averaging and EMA are inside the steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logging import format_time, print0
+from ..core.stats import Collector
+from ..models.adapter import EquivarianceTransform
+from ..models.generator import trainable_mask, trainable_path_predicates
+from ..parallel import local_mesh, shard_batch
+from .checkpoint import find_latest_snapshot, load_snapshot, merge_loaded, save_snapshot
+from .loss import TotalLoss, init_loss_state
+from .optim import Adam
+from .train_step import Trainer, TrainState
+
+
+def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1), grid_wh=None) -> None:
+    """(reference: training_loop.py:146-194) NHWC batch -> PNG grid."""
+    import PIL.Image
+
+    lo, hi = drange
+    img = (images - lo) * (255 / (hi - lo))
+    img = np.rint(img).clip(0, 255).astype(np.uint8)
+    B, H, W, C = img.shape
+    if grid_wh is None:
+        gw = int(np.ceil(np.sqrt(B)))
+        gh = int(np.ceil(B / gw))
+    else:
+        gw, gh = grid_wh
+    canvas = np.zeros((gh * H, gw * W, C), np.uint8)
+    for i in range(B):
+        y, x = divmod(i, gw)
+        canvas[y * H : (y + 1) * H, x * W : (x + 1) * W] = img[i]
+    PIL.Image.fromarray(canvas).save(path)
+
+
+def training_loop(
+    run_dir: str,
+    training_set_kwargs: Dict[str, Any],
+    G_kwargs: Dict[str, Any],
+    D_kwargs: Dict[str, Any],
+    loss_kwargs: Dict[str, Any],
+    G_opt_kwargs: Dict[str, Any],
+    D_opt_kwargs: Dict[str, Any],
+    batch_size: int = 512,
+    accumulate_gradients: int = 1,
+    kimg_per_tick: int = 10,
+    image_snapshot_ticks: int = 100,
+    network_snapshot_ticks: int = 100,
+    total_kimg: int = 20000,
+    ema_kimg: float = 160.0,
+    ema_rampup: Optional[float] = 0.05,
+    random_seed: int = 42,
+    resume_path: Optional[str] = None,
+    resume_kimg: int = 0,
+    resume_discriminator: bool = True,
+    lpips_ckpt: Optional[str] = None,
+    metrics=(),
+    abort_fn=None,
+    max_steps: Optional[int] = None,
+    data_workers: int = 3,
+    mesh=None,
+    compute_dtype: str = "bfloat16",
+    **unused_kwargs,
+):
+    from ..core.registry import construct_class_by_name, get_class_by_name
+
+    start_time = time.time()
+    rank = jax.process_index()
+    num_processes = jax.process_count()
+    mesh = mesh or local_mesh()
+    np_rng = np.random.default_rng(random_seed * num_processes + rank)
+    host_rng = jax.random.PRNGKey(random_seed)
+
+    # ------------------------------------------------------------ dataset
+    print0("Loading training set...")
+    training_set = construct_class_by_name(**training_set_kwargs)
+    data_iter = iter(
+        training_set.loader(
+            batch_size=batch_size,
+            workers=data_workers,
+            base_seed=random_seed,
+            num_processes=num_processes,
+            process_index=rank,
+        )
+    )
+
+    # ------------------------------------------------------------ modules
+    print0("Constructing networks...")
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    g_cls = get_class_by_name(G_kwargs.get("class_name", "networks.generator.Generator"))
+    gk = {k: v for k, v in G_kwargs.items() if k != "class_name"}
+    G = g_cls(compute_dtype=dtype, **gk)
+    d_cls = get_class_by_name(
+        D_kwargs.get("class_name", "networks.discriminator.ProjectedDiscriminator")
+    )
+    dk = {k: v for k, v in D_kwargs.items() if k != "class_name"}
+    dk.setdefault("c_dim", G.c_dim)
+    dk.setdefault("vfm_name", G.vfm_name)
+    D = d_cls(compute_dtype=dtype, **dk)
+
+    res = G.img_resolution
+    init_img = jnp.zeros((2, res, res, 3))
+    gv = G.init({"params": jax.random.PRNGKey(random_seed)}, init_img, train=False)
+    dv = D.init({"params": jax.random.PRNGKey(random_seed + 1)}, init_img, train=False)
+    g_params, g_bufs = gv["params"], gv.get("buffers", {})
+    d_params, d_bufs = dv["params"], dv.get("buffers", {})
+
+    # LPIPS.
+    lk = {k: v for k, v in loss_kwargs.items() if k != "class_name"}
+    lpips_module = None
+    lpips_params = None
+    if float(lk.get("perceptual_loss_weight", 0.0)) > 0:
+        from .lpips import LPIPS, load_lpips_params
+
+        lpips_module = LPIPS()
+        if lpips_ckpt and os.path.isfile(lpips_ckpt):
+            lpips_params = load_lpips_params(lpips_ckpt)
+        else:
+            print0("[warn] no LPIPS checkpoint provided; using random-init LPIPS")
+            lpips_params = lpips_module.init(jax.random.PRNGKey(0), init_img, init_img)["params"]
+
+    # ------------------------------------------------------------ loss/opt
+    loss = TotalLoss(
+        G, D,
+        vfm_name=G.vfm_name,
+        lpips_module=lpips_module,
+        total_kimg=total_kimg,
+        **lk,
+    )
+
+    preds = trainable_path_predicates(
+        G_kwargs.get("train_mode", "train_all"),
+        conditional=G.conditional,
+        label_type=G.label_type,
+        block_resolutions=G.block_resolutions,
+        concat_z_block_indices=G.concat_z_block_indices,
+    )
+    g_mask = trainable_mask(g_params, preds)
+    import flax.traverse_util as tu
+
+    d_flat = tu.flatten_dict(d_params, sep="/")
+    d_mask = tu.unflatten_dict({k: not k.startswith("dino/") for k in d_flat}, sep="/")
+
+    g_tx = Adam(
+        lr=float(G_opt_kwargs.get("lr", 1e-4)),
+        betas=tuple(G_opt_kwargs.get("betas", (0.0, 0.99))),
+        eps=float(G_opt_kwargs.get("eps", 1e-8)),
+        mask=g_mask,
+    )
+    d_tx = Adam(
+        lr=float(D_opt_kwargs.get("lr", 1e-4)),
+        betas=tuple(D_opt_kwargs.get("betas", (0.0, 0.99))),
+        eps=float(D_opt_kwargs.get("eps", 1e-8)),
+        mask=d_mask,
+    )
+
+    vf_anchor = None
+    if lk.get("use_adaptive_vf_loss", False):
+        # Path of the adapter's anchor tensor inside the G param tree.
+        from ..models.adapter import LDMAdapter  # noqa
+
+        if G.how_to_compress == "conv":
+            vf_anchor = ("ldm_adapter", "final_quant", "weight")
+        else:
+            last = G.attnproj_quant_layers - 1
+            vf_anchor = ("ldm_adapter", "final_quant", f"blocks_{last}", "mlp", "w2", "weight")
+
+    trainer = Trainer(
+        loss, g_tx, d_tx,
+        lpips_params=lpips_params,
+        g_trainable_mask=g_mask,
+        vf_anchor_path=vf_anchor,
+        batch_size=batch_size,
+        ema_kimg=ema_kimg,
+        ema_rampup=ema_rampup,
+    )
+
+    state = TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_bufs=g_bufs,
+        d_bufs=d_bufs,
+        ema_params=g_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        loss_state=init_loss_state(),
+        cur_nimg=jnp.asarray(resume_kimg * 1000, jnp.float32),
+    )
+
+    # ------------------------------------------------------------ resume
+    if resume_path:
+        print0(f"Resuming from {resume_path} ...")
+        import flax.serialization
+
+        template = flax.serialization.to_state_dict(state)
+        loaded = load_snapshot(resume_path)
+        if not resume_discriminator:
+            loaded.pop("d_params", None)
+            loaded.pop("d_opt", None)
+        merged = merge_loaded(template, loaded)
+        state = flax.serialization.from_state_dict(state, merged)
+
+    eq_transform = EquivarianceTransform(
+        apply=bool(lk.get("use_equivariance_regularization", False)),
+        p_eq_prior=G_kwargs.get("equivariance_regularization_p_prior", 0.5),
+        p_eq_prior_scale=G_kwargs.get("equivariance_regularization_p_prior_scale", 0.25),
+    )
+
+    # ------------------------------------------------------------ sinks
+    os.makedirs(run_dir, exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "train_samples"), exist_ok=True)
+    stats_path = os.path.join(run_dir, "stats.jsonl") if rank == 0 else None
+    stats_file = open(stats_path, "a") if stats_path else None
+    collector = Collector()
+
+    d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
+    g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+
+    # ------------------------------------------------------------ loop
+    print0(f"Training for {total_kimg} kimg (resume at {resume_kimg})...")
+    cur_nimg = int(resume_kimg * 1000)
+    cur_tick = 0
+    tick_start_nimg = cur_nimg
+    tick_start_time = time.time()
+    step_count = 0
+    first_batch_saved = False
+
+    with jax.sharding.set_mesh(mesh):
+        while True:
+            images, labels = next(data_iter)
+            real = jnp.asarray(images, jnp.float32) / 255.0  # NHWC [0,1]
+            real = shard_batch(mesh, real)
+            real_c = (
+                shard_batch(mesh, jnp.asarray(labels))
+                if isinstance(labels, np.ndarray)
+                else None
+            )
+
+            if not first_batch_saved and rank == 0:
+                save_image_grid(
+                    np.asarray(images[:16], np.float32) / 255.0,
+                    os.path.join(run_dir, "train_samples", "reals.png"),
+                    drange=(0, 1),
+                )
+                first_batch_saved = True
+
+            host_rng, r1, r2 = jax.random.split(host_rng, 3)
+            eq_d = eq_transform(np_rng)
+            state, d_stats, _ = d_step(state, real, real_c, r1, eq_d)
+            eq_g = eq_transform(np_rng)
+            state, g_stats, _ = g_step(state, real, real_c, r2, eq_g)
+            step_count += 1
+            cur_nimg += images.shape[0]
+
+            done = cur_nimg >= total_kimg * 1000 or (
+                max_steps is not None and step_count >= max_steps
+            )
+            if abort_fn is not None and abort_fn():
+                done = True
+
+            if (cur_nimg < tick_start_nimg + kimg_per_tick * 1000) and not done:
+                continue
+
+            # ---- tick maintenance ----
+            collector.update(jax.device_get(d_stats))
+            collector.update(jax.device_get(g_stats))
+            tick_time = time.time() - tick_start_time
+            total_time = time.time() - start_time
+            fields = [
+                f"tick {cur_tick:<5d}",
+                f"kimg {cur_nimg / 1000:<8.1f}",
+                f"time {format_time(total_time):<12s}",
+                f"sec/tick {tick_time:<7.1f}",
+                f"sec/kimg {tick_time / max((cur_nimg - tick_start_nimg) / 1000, 1e-8):<7.2f}",
+            ]
+            for name in ("Loss/G/l1_pixel_loss", "Loss/G/vf_loss", "Loss/D/stylegan_t/loss"):
+                if name in collector.names():
+                    fields.append(f"{name.split('/')[-1]} {collector.mean(name):.4f}")
+            print0(" | ".join(fields))
+
+            if stats_file is not None:
+                entry = {
+                    "Progress/tick": cur_tick,
+                    "Progress/kimg": cur_nimg / 1000,
+                    "Timing/total_sec": total_time,
+                    "Timing/sec_per_tick": tick_time,
+                    "timestamp": time.time(),
+                }
+                entry.update(
+                    {name: collector.mean(name) for name in collector.names()}
+                )
+                stats_file.write(json.dumps(entry) + "\n")
+                stats_file.flush()
+            collector.reset()
+
+            if rank == 0 and network_snapshot_ticks and (
+                cur_tick % network_snapshot_ticks == 0 or done
+            ):
+                import flax.serialization
+
+                sd = flax.serialization.to_state_dict(state)
+                path = save_snapshot(run_dir, cur_nimg // 1000, sd)
+                print0(f"Saved snapshot {path}")
+
+            if rank == 0 and image_snapshot_ticks and (
+                cur_tick % image_snapshot_ticks == 0 or done
+            ):
+                ema_g = state.ema_params
+                out = G.apply(
+                    {"params": ema_g, "buffers": state.g_bufs},
+                    real[:8],
+                    real_c[:8] if real_c is not None else None,
+                    rng=jax.random.PRNGKey(0),
+                    validation=True,
+                    train=False,
+                )
+                grid = np.concatenate(
+                    [np.asarray(real[:8]) * 2 - 1, np.asarray(out.gen_img)], axis=0
+                )
+                save_image_grid(
+                    grid,
+                    os.path.join(run_dir, "train_samples", f"val_gens_{cur_nimg // 1000:06d}.png"),
+                    drange=(-1, 1),
+                    grid_wh=(8, 2),
+                )
+
+            cur_tick += 1
+            tick_start_nimg = cur_nimg
+            tick_start_time = time.time()
+            if done:
+                break
+
+    if stats_file is not None:
+        stats_file.close()
+    print0(f"Done. Total time: {format_time(time.time() - start_time)}")
+    return state

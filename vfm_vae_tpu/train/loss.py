@@ -1,0 +1,594 @@
+"""GAN + reconstruction loss engine (reference: training/loss.py).
+
+Functional redesign for jit:
+
+  * `g_terms(...)` returns the VECTOR of raw G loss terms; the train step
+    takes ONE jax.vjp of it and derives (a) training grads from the
+    weighted cotangent, (b) the adaptive VF weight from the rec-/vf-only
+    cotangents' gradient norms at the adapter anchor param
+    (loss.py:262-271) — one forward, no duplicated graph.
+  * Safe-loss monitoring (loss.py:624-697, 842-946) is fully traced: term
+    values are checked against finiteness / 10x-previous thresholds and the
+    step is neutralized by zeroing the grad cotangent — no host sync, and
+    because losses are global means under jit, every device skips the same
+    step by construction (the reference needs two all_reduce votes for
+    this).
+  * Warm-up FSM (loss.py:381-492) runs host-side on drained stats; stock
+    configs ship with warmups off.
+
+Value-range conventions follow loss.py:530-549 (real in [0,1], gen in
+[-1,1], VFM inputs in [0,1]).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import stats as tstats
+from ..ops.upfirdn import filter2d
+from ..ops.resize import resize_bilinear, resize_bicubic
+from .ssim import ssim as ssim_fn
+
+SAFE_MARK, UNSAFE_MARK = 1, 0
+
+# Fixed order of G loss terms (the vjp primal vector).
+G_TERMS = (
+    "l1_pixel_loss",
+    "l2_pixel_loss",
+    "perceptual_loss",
+    "ssim_loss",
+    "multiscale_pixel_loss",
+    "stylegan_t_gen_loss",
+    "patchgan_gen_loss",
+    "feature_matching_loss",
+    "clip_loss",
+    "vf_loss",
+    "kl_loss",
+    "vq_loss",
+    "entropy_loss",
+)
+# Terms subject to the 10x-previous check (loss.py:884); the rest only get
+# the finiteness check.
+G_REC_TERMS = ("l1_pixel_loss", "l2_pixel_loss", "perceptual_loss", "ssim_loss", "multiscale_pixel_loss")
+# Terms tracked by prev_loss (loss.py:858-868).
+G_TRACKED = G_TERMS[:9]
+
+D_TERMS = (
+    "stylegan_t_gen_loss",
+    "stylegan_t_real_loss",
+    "patchgan_gen_loss",
+    "patchgan_real_loss",
+    "matching_aware_loss",
+)
+
+
+@flax.struct.dataclass
+class LossState:
+    """Device-resident cross-step loss state."""
+
+    prev_g_loss: jnp.ndarray  # (len(G_TRACKED),)
+    has_prev: jnp.ndarray  # scalar bool
+
+
+def init_loss_state() -> LossState:
+    return LossState(prev_g_loss=jnp.zeros(len(G_TRACKED)), has_prev=jnp.zeros((), bool))
+
+
+def blur_image(img: jnp.ndarray, blur_sigma: float) -> jnp.ndarray:
+    """Gaussian-ish 2^-x blur (loss.py:224-231); static sigma."""
+    blur_size = int(np.floor(blur_sigma * 3))
+    if blur_size <= 0:
+        return img
+    f = np.exp2(-((np.arange(-blur_size, blur_size + 1) / blur_sigma) ** 2))
+    return filter2d(img, (f / f.sum()).astype(np.float32))
+
+
+def spherical_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(loss.py:277-281)."""
+    from ..models.layers import l2_normalize
+
+    x = l2_normalize(x, axis=-1)
+    y = l2_normalize(y, axis=-1)
+    return jnp.square(jnp.arccos(jnp.clip(jnp.sum(x * y, axis=-1), -1.0, 1.0)))
+
+
+def hinge_d_loss(logits: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "real":
+        return jnp.mean(jax.nn.relu(1.0 - logits))
+    return jnp.mean(jax.nn.relu(1.0 + logits))
+
+
+def patchgan_d_loss(preds: List[jnp.ndarray], kind: str, loss_type: str) -> jnp.ndarray:
+    """(loss.py:289-317); preds = last-layer logits per scale."""
+    if not preds:
+        return jnp.zeros(())
+    is_real = kind == "real"
+    total = 0.0
+    for pred in preds:
+        if loss_type == "bce":
+            target = jnp.ones_like(pred) if is_real else jnp.zeros_like(pred)
+            total += jnp.mean(
+                jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+            )
+        elif loss_type == "mse":
+            target = jnp.ones_like(pred) if is_real else jnp.zeros_like(pred)
+            total += jnp.mean(jnp.square(pred - target))
+        elif loss_type == "hinge":
+            total += hinge_d_loss(pred, kind)
+        else:
+            raise ValueError(loss_type)
+    return total / len(preds)
+
+
+def patchgan_g_loss(preds: List[jnp.ndarray], loss_type: str) -> jnp.ndarray:
+    """(loss.py:319-343)."""
+    if not preds:
+        return jnp.zeros(())
+    total = 0.0
+    for pred in preds:
+        if loss_type == "bce":
+            target = jnp.ones_like(pred)
+            total += jnp.mean(
+                jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+            )
+        elif loss_type == "mse":
+            total += jnp.mean(jnp.square(pred - 1.0))
+        elif loss_type == "hinge":
+            total += jnp.mean(-pred)
+        else:
+            raise ValueError(loss_type)
+    return total / len(preds)
+
+
+def feature_matching_loss(real_feats, fake_feats) -> jnp.ndarray:
+    """pix2pixHD weighting (loss.py:345-352)."""
+    if not real_feats:
+        return jnp.zeros(())
+    total = 0.0
+    d_w = 1.0 / len(real_feats)
+    for rf, ff in zip(real_feats, fake_feats):
+        feat_w = 4.0 / max(len(rf) - 1, 1)
+        for r, f in zip(rf[:-1], ff[:-1]):
+            total += d_w * feat_w * jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+    return total
+
+
+def matching_aware_loss_fn(real_logits, gen_logits) -> jnp.ndarray:
+    """(loss.py:273-275)."""
+    return jnp.mean(jax.nn.softplus(real_logits) + jax.nn.softplus(gen_logits))
+
+
+class ImageTransform:
+    """EQ alignment of real images + multiscale target resizing
+    (loss.py:39-73), static per compile bucket."""
+
+    def __init__(self, apply_equivariance: bool, interpolation: str):
+        self.apply_equivariance = apply_equivariance
+        self.interpolation = interpolation
+
+    def _resize(self, img, *, size=None, scale_factor=None):
+        fn = resize_bicubic if self.interpolation == "bicubic" else resize_bilinear
+        if size is not None:
+            antialias = size < img.shape[1]
+            return fn(img, size=(size, size), antialias=antialias)
+        antialias = scale_factor < 1.0
+        return fn(img, scale_factor=scale_factor, antialias=antialias)
+
+    def __call__(self, img, eq_scale_factor: float, eq_angle_factor: int):
+        if self.apply_equivariance:
+            if eq_scale_factor != 1.0:
+                img = self._resize(img, scale_factor=eq_scale_factor)
+            if eq_angle_factor % 4 != 0:
+                img = jnp.rot90(img, k=eq_angle_factor, axes=(2, 1))
+        return img
+
+    def multiscale(self, img, targets):
+        return [self._resize(img, size=int(t.shape[1])) for t in targets]
+
+
+class TotalLoss:
+    """Holds static config + module defs; all methods are pure and jittable.
+
+    Construction args mirror the reference (training/loss.py:77-112); the
+    module *definitions* (not parameters) are bound here."""
+
+    def __init__(
+        self,
+        G,
+        D,
+        vfm_name: str,
+        resume_kimg: int = 0,
+        use_equivariance_regularization: bool = False,
+        lpips_module=None,
+        blur_init_sigma: float = 2.0,
+        blur_fade_kimg: int = 0,
+        l1_pixel_loss_weight: float = 1.0,
+        l2_pixel_loss_weight: float = 0.0,
+        perceptual_loss_weight: float = 10.0,
+        ssim_loss_weight: float = 0.0,
+        multiscale_pixel_loss_weights: Sequence[float] = (),
+        multiscale_block_indices: Sequence[int] = (),
+        multiscale_pixel_loss_start_kimg: int = 0,
+        multiscale_pixel_loss_end_kimg: int = 2000,
+        vf_loss_weight: float = 0.0,
+        use_adaptive_vf_loss: bool = False,
+        clip_loss_weight: float = 0.0,
+        clip_loss_start_kimg: int = 0,
+        matching_aware_loss_weight: float = 0.0,
+        matching_aware_loss_start_kimg: int = 0,
+        compression_mode: str = "continuous",
+        kl_loss_weight: float = 1e-6,
+        entropy_loss_weight: float = 0.0,
+        vq_loss_weight: float = 1.0,
+        stylegan_t_discriminator_loss_weight: float = 1.0,
+        patchgan_discriminator_loss_weight: float = 0.0,
+        patchgan_discriminator_loss_type: str = "mse",
+        feature_matching_loss_weight: float = 1.0,
+        use_stylegan_t_disc_warmup: bool = False,
+        use_patchgan_disc_warmup: bool = False,
+        total_kimg: int = 0,
+        device=None,
+    ):
+        self.G = G
+        self.D = D
+        self.lpips = lpips_module
+        self.vfm_name = vfm_name.lower()
+        self.interpolation = "bicubic" if any(
+            k in self.vfm_name for k in ("qwen", "dino", "eva")
+        ) else "bilinear"
+
+        self.resume_kimg = resume_kimg
+        self.safe_loss_checking_start_nimg = 50_000
+
+        self.img_transform = ImageTransform(use_equivariance_regularization, self.interpolation)
+        self.blur_init_sigma = blur_init_sigma
+        self.blur_fade_kimg = blur_fade_kimg
+
+        self.l1_pixel_loss_weight = l1_pixel_loss_weight
+        self.l2_pixel_loss_weight = l2_pixel_loss_weight
+        self.perceptual_loss_weight = perceptual_loss_weight
+        self.ssim_loss_weight = ssim_loss_weight
+        self.multiscale_pixel_loss_weights = list(multiscale_pixel_loss_weights)
+        self.multiscale_block_indices = list(multiscale_block_indices)
+        self.multiscale_pixel_loss_start_kimg = multiscale_pixel_loss_start_kimg
+        self.multiscale_pixel_loss_end_kimg = multiscale_pixel_loss_end_kimg
+        self.vf_loss_weight = vf_loss_weight
+        self.use_adaptive_vf_loss = use_adaptive_vf_loss
+        self.clip_loss_weight = clip_loss_weight
+        self.clip_loss_start_kimg = clip_loss_start_kimg
+        self.matching_aware_loss_weight = matching_aware_loss_weight
+        self.matching_aware_loss_start_kimg = matching_aware_loss_start_kimg
+        self.compression_mode = compression_mode
+        self.kl_loss_weight = kl_loss_weight
+        self.entropy_loss_weight = entropy_loss_weight
+        self.vq_loss_weight = vq_loss_weight
+        self.stylegan_t_discriminator_loss_weight = stylegan_t_discriminator_loss_weight
+        self.patchgan_discriminator_loss_weight = patchgan_discriminator_loss_weight
+        self.patchgan_discriminator_loss_type = patchgan_discriminator_loss_type
+        self.feature_matching_loss_weight = feature_matching_loss_weight
+        self.use_stylegan_t_disc_warmup = use_stylegan_t_disc_warmup
+        self.use_patchgan_disc_warmup = use_patchgan_disc_warmup
+        self.total_kimg = total_kimg
+
+        # Warm-up FSM flags (host-side; loss.py:193-194).
+        self.stylegan_t_on = stylegan_t_discriminator_loss_weight > 0 and not use_stylegan_t_disc_warmup
+        self.patchgan_on = patchgan_discriminator_loss_weight > 0 and not use_patchgan_disc_warmup
+        self.pixel_loss_on = l1_pixel_loss_weight > 0 or l2_pixel_loss_weight > 0
+        self.perceptual_loss_on = perceptual_loss_weight > 0
+        self.ssim_loss_on = ssim_loss_weight > 0
+        self.multiscale_pixel_loss_on = sum(self.multiscale_pixel_loss_weights) > 0
+
+    # ------------------------------------------------------------ schedule
+
+    def blur_sigma(self, cur_nimg: int) -> float:
+        """(loss.py:233-237); quantized to 0.25 steps to bound recompiles."""
+        if self.blur_fade_kimg > 1:
+            s = max(1 - cur_nimg / (self.blur_fade_kimg * 1e3), 0) * self.blur_init_sigma
+            return round(s * 4) / 4
+        return 0.0
+
+    # ------------------------------------------------------------ D apply
+
+    def run_D(self, d_params, d_bufs, img, c, rng, blur_sigma: float, train: bool):
+        img = blur_image(img, blur_sigma)
+        out, mut = self.D.apply(
+            {"params": d_params, "buffers": d_bufs},
+            img, c, rng=rng, train=train, mutable=["buffers"],
+        )
+        return out, mut["buffers"]
+
+    # ------------------------------------------------------------ G terms
+
+    def g_terms(
+        self,
+        g_params,
+        d_params,
+        g_bufs,
+        d_bufs,
+        lpips_params,
+        real_img,  # (B, H, W, 3) in [0, 1]
+        real_c,
+        rngs: Dict[str, jax.Array],
+        eq: Tuple[float, int, bool],
+        cur_nimg,
+        blur_sigma: float = 0.0,
+    ):
+        """Returns (terms tuple ordered as G_TERMS, aux dict). Differentiable
+        w.r.t. g_params (d_params frozen in this phase)."""
+        stats: Dict[str, jnp.ndarray] = {}
+        gen_out, g_mut = self.G.apply(
+            {"params": g_params, "buffers": g_bufs},
+            real_img, real_c, rng=rngs.get("sample"), eq=eq, train=True,
+            mutable=["buffers"],
+        )
+        gen_img = gen_out.gen_img
+        d_bufs_run = d_bufs
+
+        zero = jnp.zeros(())
+        terms = {name: zero for name in G_TERMS}
+
+        # Adversarial terms.
+        if self.stylegan_t_on or self.patchgan_on:
+            d_out, d_bufs_run = self.run_D(
+                d_params, d_bufs_run, gen_img, real_c, rngs.get("d_gen"), blur_sigma, True
+            )
+            if self.stylegan_t_on and self.stylegan_t_discriminator_loss_weight > 0:
+                terms["stylegan_t_gen_loss"] = jnp.mean(-d_out.stylegan_t_logits)
+                stats = tstats.merge(stats, {})
+                tstats.report(stats, "Loss/G/stylegan_t/fake_scores", d_out.stylegan_t_logits)
+                tstats.report(stats, "Loss/G/stylegan_t/fake_signs", jnp.sign(d_out.stylegan_t_logits))
+            if self.patchgan_on and self.patchgan_discriminator_loss_weight > 0:
+                terms["patchgan_gen_loss"] = patchgan_g_loss(
+                    d_out.patchgan_logits, self.patchgan_discriminator_loss_type
+                )
+
+        # Real image aligned to the EQ bucket.
+        eq_scale, eq_angle, _ = eq
+        real_t = self.img_transform(real_img, eq_scale, eq_angle)
+        real_pm1 = real_t * 2.0 - 1.0
+
+        # Feature matching (PatchGAN).
+        if (
+            self.patchgan_on
+            and self.feature_matching_loss_weight > 0
+            and self.patchgan_discriminator_loss_weight > 0
+        ):
+            real_d_out, d_bufs_run = self.run_D(
+                d_params, d_bufs_run, real_pm1, real_c, rngs.get("d_real"), blur_sigma, True
+            )
+            terms["feature_matching_loss"] = feature_matching_loss(
+                real_d_out.patchgan_features, d_out.patchgan_features
+            )
+
+        # Reconstruction terms.
+        if self.pixel_loss_on and self.l1_pixel_loss_weight > 0:
+            terms["l1_pixel_loss"] = jnp.mean(jnp.abs(real_pm1 - gen_img))
+        if self.pixel_loss_on and self.l2_pixel_loss_weight > 0:
+            terms["l2_pixel_loss"] = jnp.mean(jnp.square(real_pm1 - gen_img))
+        if self.perceptual_loss_on and self.perceptual_loss_weight > 0:
+            assert self.lpips is not None and lpips_params is not None
+            terms["perceptual_loss"] = jnp.mean(
+                self.lpips.apply({"params": lpips_params}, real_pm1, gen_img)
+            )
+        if self.ssim_loss_on and self.ssim_loss_weight > 0:
+            terms["ssim_loss"] = 1.0 - ssim_fn(
+                jnp.clip(gen_img, -1, 1), jnp.clip(real_pm1, -1, 1), data_range=2.0
+            )
+
+        # Multiscale pixel loss with kimg window (loss.py:776-792).
+        if self.multiscale_pixel_loss_on and self.multiscale_pixel_loss_weights:
+            real_ms = self.img_transform.multiscale(real_t, gen_out.gen_multiscale_imgs)
+            in_window = jnp.logical_and(
+                cur_nimg >= self.multiscale_pixel_loss_start_kimg * 1e3,
+                cur_nimg < self.multiscale_pixel_loss_end_kimg * 1e3,
+            ).astype(jnp.float32)
+            ms_total = 0.0
+            for i, gen_ms in enumerate(gen_out.gen_multiscale_imgs):
+                w = (
+                    self.multiscale_pixel_loss_weights[self.multiscale_block_indices.index(i)]
+                    if i in self.multiscale_block_indices
+                    else 0.0
+                )
+                li = jnp.mean(jnp.abs(real_ms[i] * 2 - 1 - gen_ms))
+                ms_total = ms_total + w * li
+                tstats.report(stats, f"Loss/G/multiscale_pixel_loss_block{i:01d}", li)
+            terms["multiscale_pixel_loss"] = ms_total * in_window
+
+        # Aux generator losses.
+        if self.vf_loss_weight > 0:
+            terms["vf_loss"] = gen_out.vf_loss
+        if self.compression_mode == "continuous":
+            terms["kl_loss"] = gen_out.kl_loss
+        else:
+            terms["vq_loss"] = gen_out.vq_loss
+            terms["entropy_loss"] = gen_out.entropy_loss
+            tstats.report(stats, "Loss/G/codebook_usages", gen_out.codebook_usages)
+
+        aux = {
+            "stats": stats,
+            "g_bufs": g_mut["buffers"],
+            "d_bufs": d_bufs_run,
+            "gen_img": jax.lax.stop_gradient(gen_img),
+        }
+        return tuple(terms[name] for name in G_TERMS), aux
+
+    def g_weights(self, cur_vf_weight) -> jnp.ndarray:
+        """Cotangent / total-loss weights in G_TERMS order."""
+        w = {
+            "l1_pixel_loss": self.l1_pixel_loss_weight if self.pixel_loss_on else 0.0,
+            "l2_pixel_loss": self.l2_pixel_loss_weight if self.pixel_loss_on else 0.0,
+            "perceptual_loss": self.perceptual_loss_weight if self.perceptual_loss_on else 0.0,
+            "ssim_loss": self.ssim_loss_weight if self.ssim_loss_on else 0.0,
+            "multiscale_pixel_loss": 1.0 if self.multiscale_pixel_loss_on else 0.0,
+            "stylegan_t_gen_loss": self.stylegan_t_discriminator_loss_weight if self.stylegan_t_on else 0.0,
+            "patchgan_gen_loss": self.patchgan_discriminator_loss_weight if self.patchgan_on else 0.0,
+            "feature_matching_loss": self.feature_matching_loss_weight if self.patchgan_on else 0.0,
+            "clip_loss": self.clip_loss_weight,
+            "vf_loss": cur_vf_weight,
+            "kl_loss": self.kl_loss_weight if self.compression_mode == "continuous" else 0.0,
+            "vq_loss": self.vq_loss_weight if self.compression_mode == "discrete" else 0.0,
+            "entropy_loss": self.entropy_loss_weight if self.compression_mode == "discrete" else 0.0,
+        }
+        return jnp.stack([jnp.asarray(w[name], jnp.float32) for name in G_TERMS])
+
+    def rec_weights(self) -> jnp.ndarray:
+        """Cotangent selecting main_rec_loss (loss.py:794-810)."""
+        w = np.zeros(len(G_TERMS), np.float32)
+        idx = {n: i for i, n in enumerate(G_TERMS)}
+        if self.pixel_loss_on:
+            w[idx["l1_pixel_loss"]] = self.l1_pixel_loss_weight
+            w[idx["l2_pixel_loss"]] = self.l2_pixel_loss_weight
+        if self.perceptual_loss_on:
+            w[idx["perceptual_loss"]] = self.perceptual_loss_weight
+        if self.ssim_loss_on:
+            w[idx["ssim_loss"]] = self.ssim_loss_weight
+        if self.multiscale_pixel_loss_on:
+            w[idx["multiscale_pixel_loss"]] = 1.0
+        return jnp.asarray(w)
+
+    def vf_cotangent(self) -> jnp.ndarray:
+        w = np.zeros(len(G_TERMS), np.float32)
+        w[G_TERMS.index("vf_loss")] = 1.0
+        return jnp.asarray(w)
+
+    # ------------------------------------------------------------ G safety
+
+    def g_safe(self, terms: Sequence[jnp.ndarray], state: LossState, cur_nimg):
+        """Traced safe-loss check (loss.py:842-903). Returns
+        (skip flag, per-term safe marks (len G_TRACKED), new LossState)."""
+        vals = jnp.stack([terms[G_TERMS.index(n)] for n in G_TRACKED])
+        finite = jnp.isfinite(vals)
+        too_large = jnp.logical_and(state.prev_g_loss > 1e-6, vals > state.prev_g_loss * 10)
+        is_rec = jnp.asarray([n in G_REC_TERMS for n in G_TRACKED])
+        unsafe = jnp.where(is_rec, ~finite | too_large, ~finite)
+        active = jnp.logical_and(
+            state.has_prev,
+            cur_nimg > self.resume_kimg * 1e3 + self.safe_loss_checking_start_nimg,
+        )
+        unsafe = jnp.logical_and(unsafe, active)
+        skip = jnp.any(unsafe)
+        safe_marks = 1 - unsafe.astype(jnp.int32)
+        vals_clean = jnp.nan_to_num(vals, nan=0.0, posinf=0.0, neginf=0.0)
+        new_state = LossState(
+            prev_g_loss=jnp.where(skip, state.prev_g_loss, vals_clean),
+            has_prev=jnp.logical_or(state.has_prev, ~skip),
+        )
+        return skip, safe_marks, new_state
+
+    # ------------------------------------------------------------ D loss
+
+    def d_loss(
+        self,
+        d_params,
+        g_params,
+        g_bufs,
+        d_bufs,
+        real_img,
+        real_c,
+        rngs: Dict[str, jax.Array],
+        eq: Tuple[float, int, bool],
+        cur_nimg,
+        blur_sigma: float = 0.0,
+    ):
+        """Scalar D loss + aux. G runs under stop_gradient (loss.py:563-570)."""
+        stats: Dict[str, jnp.ndarray] = {}
+        gen_out, _ = self.G.apply(
+            {"params": g_params, "buffers": g_bufs},
+            real_img, real_c, rng=rngs.get("sample"), eq=eq, train=True,
+            mutable=["buffers"],
+        )
+        gen_img = jax.lax.stop_gradient(gen_out.gen_img)
+
+        d_bufs_run = d_bufs
+        gen_d, d_bufs_run = self.run_D(
+            d_params, d_bufs_run, gen_img, real_c, rngs.get("d_gen"), blur_sigma, True
+        )
+
+        eq_scale, eq_angle, _ = eq
+        real_t = self.img_transform(real_img, eq_scale, eq_angle) * 2.0 - 1.0
+        real_d, d_bufs_run = self.run_D(
+            d_params, d_bufs_run, real_t, real_c, rngs.get("d_real"), blur_sigma, True
+        )
+
+        zero = jnp.zeros(())
+        terms = {name: zero for name in D_TERMS}
+
+        if self.stylegan_t_on and self.stylegan_t_discriminator_loss_weight > 0:
+            terms["stylegan_t_gen_loss"] = hinge_d_loss(gen_d.stylegan_t_logits, "fake")
+            terms["stylegan_t_real_loss"] = hinge_d_loss(real_d.stylegan_t_logits, "real")
+            tstats.report(stats, "Loss/D/stylegan_t/fake_scores", gen_d.stylegan_t_logits)
+            tstats.report(stats, "Loss/D/stylegan_t/fake_signs", jnp.sign(gen_d.stylegan_t_logits))
+            tstats.report(stats, "Loss/D/stylegan_t/real_scores", real_d.stylegan_t_logits)
+            tstats.report(stats, "Loss/D/stylegan_t/real_signs", jnp.sign(real_d.stylegan_t_logits))
+
+        if self.patchgan_on and self.patchgan_discriminator_loss_weight > 0:
+            terms["patchgan_gen_loss"] = patchgan_d_loss(
+                gen_d.patchgan_logits, "fake", self.patchgan_discriminator_loss_type
+            )
+            terms["patchgan_real_loss"] = patchgan_d_loss(
+                real_d.patchgan_logits, "real", self.patchgan_discriminator_loss_type
+            )
+            for i, pred in enumerate(gen_d.patchgan_logits):
+                scores = jnp.mean(pred.reshape(pred.shape[0], -1), axis=1)
+                tstats.report(stats, f"Loss/D/patchgan/fake/scale{i}/fake_scores", jnp.mean(scores))
+                tstats.report(stats, f"Loss/D/patchgan/fake/scale{i}/fake_signs", jnp.mean(jnp.sign(scores)))
+            for i, pred in enumerate(real_d.patchgan_logits):
+                scores = jnp.mean(pred.reshape(pred.shape[0], -1), axis=1)
+                tstats.report(stats, f"Loss/D/patchgan/real/scale{i}/real_scores", jnp.mean(scores))
+                tstats.report(stats, f"Loss/D/patchgan/real/scale{i}/real_signs", jnp.mean(jnp.sign(scores)))
+
+        # Matching-aware shuffled-condition loss (loss.py:603-622).
+        if (
+            self.matching_aware_loss_weight > 0
+            and self.stylegan_t_on
+            and real_c is not None
+        ):
+            perm = jax.random.permutation(rngs["shuffle"], real_c.shape[0])
+            c_shuf = real_c[perm]
+            gen_s, d_bufs_run = self.run_D(
+                d_params, d_bufs_run, gen_img, c_shuf, rngs.get("d_gen_s"), blur_sigma, True
+            )
+            real_s, d_bufs_run = self.run_D(
+                d_params, d_bufs_run, real_t, c_shuf, rngs.get("d_real_s"), blur_sigma, True
+            )
+            gate = (cur_nimg >= self.matching_aware_loss_start_kimg * 1e3).astype(jnp.float32)
+            terms["matching_aware_loss"] = gate * matching_aware_loss_fn(
+                real_s.stylegan_t_logits, gen_s.stylegan_t_logits
+            )
+
+        st = terms["stylegan_t_gen_loss"] + terms["stylegan_t_real_loss"]
+        pg = terms["patchgan_gen_loss"] + terms["patchgan_real_loss"]
+        d_total = (
+            self.stylegan_t_discriminator_loss_weight * st
+            + self.patchgan_discriminator_loss_weight * pg
+            + self.matching_aware_loss_weight * terms["matching_aware_loss"]
+        )
+
+        # Safe check (traced; loss.py:638-664).
+        vals = jnp.stack([terms[n] for n in D_TERMS])
+        active = cur_nimg > self.resume_kimg * 1e3 + self.safe_loss_checking_start_nimg
+        unsafe = jnp.logical_and(~jnp.isfinite(vals) | (jnp.abs(vals) > 1e4), active)
+        skip = jnp.any(unsafe)
+
+        tstats.report(stats, "Loss/D/stylegan_t/gen_loss", terms["stylegan_t_gen_loss"])
+        tstats.report(stats, "Loss/D/stylegan_t/real_loss", terms["stylegan_t_real_loss"])
+        tstats.report(stats, "Loss/D/stylegan_t/loss", st)
+        if self.patchgan_on:
+            tstats.report(stats, "Loss/D/patchgan/gen_loss", terms["patchgan_gen_loss"])
+            tstats.report(stats, "Loss/D/patchgan/real_loss", terms["patchgan_real_loss"])
+            tstats.report(stats, "Loss/D/patchgan/loss", pg)
+        if self.matching_aware_loss_weight > 0:
+            tstats.report(stats, "Loss/D/matching_aware_loss", terms["matching_aware_loss"])
+        tstats.report(stats, "Loss/D/skipped", skip.astype(jnp.float32))
+        for i, n in enumerate(D_TERMS):
+            tstats.report(stats, f"Loss/D/is_safe/{n}", (1 - unsafe[i]).astype(jnp.float32))
+
+        d_total = jnp.where(skip, 0.0, jnp.nan_to_num(d_total, nan=0.0, posinf=0.0, neginf=0.0))
+        aux = {"stats": stats, "d_bufs": d_bufs_run, "skip": skip}
+        return d_total, aux
