@@ -124,6 +124,39 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms.functional"] = functional
 
 
+def _install_torchaudio_stub():
+    if "torchaudio" in sys.modules:
+        return
+    try:
+        import torchaudio  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import torch
+
+    ta = _mk_module("torchaudio")
+    functional = _mk_module("torchaudio.functional")
+
+    def edit_distance(seq1, seq2):
+        a = [int(x) for x in seq1]
+        b = [int(x) for x in seq2]
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return torch.tensor(float(dp[-1]))
+
+    functional.edit_distance = edit_distance
+    ta.functional = functional
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.functional"] = functional
+
+
 def _install_pkg_resources_stub():
     if "pkg_resources" in sys.modules:
         return
@@ -151,6 +184,7 @@ def import_reference(module: str):
     _install_timm_stub()
     _install_pkg_resources_stub()
     _install_torchvision_stub()
+    _install_torchaudio_stub()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib

@@ -1,0 +1,84 @@
+"""Metric-layer tests: FID math, P&R, CKNNA vs reference torch impl, SSIM."""
+
+import numpy as np
+import pytest
+
+from tests.oracle import import_reference
+
+torch = pytest.importorskip("torch")
+
+
+def test_frechet_distance_zero_for_identical():
+    from vfm_vae_tpu.metrics.fid import frechet_distance
+
+    rng = np.random.default_rng(0)
+    mu = rng.standard_normal(16)
+    a = rng.standard_normal((16, 16))
+    sigma = a @ a.T + np.eye(16)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_fid_stats_streaming_matches_direct():
+    from vfm_vae_tpu.metrics.feature_stats import FeatureStats
+    from vfm_vae_tpu.metrics.fid import compute_fid_from_stats, frechet_distance
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    y = (rng.standard_normal((500, 8)) * 1.5 + 0.3).astype(np.float32)
+    sa, sb = FeatureStats(capture_mean_cov=True), FeatureStats(capture_mean_cov=True)
+    for i in range(0, 500, 64):
+        sa.append(x[i : i + 64])
+        sb.append(y[i : i + 64])
+    fid = compute_fid_from_stats(sa, sb)
+    direct = frechet_distance(
+        x.mean(0), np.cov(x, rowvar=False, bias=True),
+        y.mean(0), np.cov(y, rowvar=False, bias=True),
+    )
+    np.testing.assert_allclose(fid, direct, rtol=1e-4)
+
+
+def test_precision_recall_sanity():
+    from vfm_vae_tpu.metrics.precision_recall import compute_pr
+
+    rng = np.random.default_rng(2)
+    real = rng.standard_normal((300, 8)).astype(np.float32)
+    # identical distribution -> high precision+recall
+    gen_same = rng.standard_normal((300, 8)).astype(np.float32)
+    p, r = compute_pr(real, gen_same)
+    assert p > 0.8 and r > 0.8
+    # far-away generated -> zero precision
+    gen_far = gen_same + 100.0
+    p2, r2 = compute_pr(real, gen_far)
+    assert p2 < 0.05 and r2 < 0.05
+
+
+def test_cknna_matches_reference():
+    metrics_ref = import_reference("tools.evaluate_alignment.metrics")
+    from vfm_vae_tpu.metrics.cknna import cknna
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((64, 16)).astype(np.float32)
+    b = (a @ rng.standard_normal((16, 16)).astype(np.float32) * 0.5 + 0.1).astype(np.float32)
+    ref_val = metrics_ref.AlignmentMetrics.cknna(
+        torch.from_numpy(a), torch.from_numpy(b), topk=8
+    )
+    ours = cknna(a, b, topk=8)
+    np.testing.assert_allclose(ours, ref_val, rtol=1e-3, atol=1e-4)
+
+
+def test_cknna_self_similarity_is_one():
+    from vfm_vae_tpu.metrics.cknna import cknna
+
+    a = np.random.default_rng(4).standard_normal((50, 12)).astype(np.float32)
+    assert abs(cknna(a, a, topk=5) - 1.0) < 1e-3
+
+
+def test_psnr_known_value():
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.metrics.recon import psnr
+
+    a = jnp.zeros((1, 8, 8, 3))
+    b = jnp.full((1, 8, 8, 3), 0.1)
+    # mse = 0.01 -> psnr = 20 dB for data_range 1
+    np.testing.assert_allclose(float(psnr(a, b)[0]), 20.0, rtol=1e-4)
