@@ -131,7 +131,18 @@ def to_one_hot(label: int, num_classes: int) -> np.ndarray:
 
 
 def iter_tar_samples(url: str) -> Iterator[Dict[str, bytes]]:
-    """Group tar members by sample key (basename before first dot)."""
+    """Group tar members by sample key (basename before first dot).
+    Uses the native C++ reader (data/ctar.py) when available; otherwise
+    pure-Python tarfile with identical output."""
+    if not url.endswith((".gz", ".tgz", ".bz2", ".xz")):
+        try:
+            from .ctar import iter_tar_samples_native, native_available
+
+            if native_available():
+                yield from iter_tar_samples_native(url)
+                return
+        except Exception:
+            pass
     with tarfile.open(url, "r|*") as tf:
         current_key = None
         sample: Dict[str, bytes] = {}
