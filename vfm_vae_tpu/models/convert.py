@@ -298,6 +298,41 @@ def convert_ldm_adapter(sd, prefix: str, how_to_compress: str, how_to_decompress
     return p, b
 
 
+def convert_dinov2(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """HF Dinov2Model state_dict -> Dinov2Tower params."""
+    p: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]
+    _set(p, "patch_embedding_weight", _conv(g("embeddings.patch_embeddings.projection.weight")))
+    _set(p, "patch_embedding_bias", _arr(g("embeddings.patch_embeddings.projection.bias")))
+    _set(p, "cls_token", _arr(g("embeddings.cls_token")))
+    _set(p, "position_embeddings", np.asarray(g("embeddings.position_embeddings"))[0])
+    i = 0
+    while prefix + f"encoder.layer.{i}.norm1.weight" in sd:
+        lp = f"encoder.layer.{i}."
+        _set(p, f"layers_{i}/norm1/weight", _arr(g(lp + "norm1.weight")))
+        _set(p, f"layers_{i}/norm1/bias", _arr(g(lp + "norm1.bias")))
+        _set(p, f"layers_{i}/norm2/weight", _arr(g(lp + "norm2.weight")))
+        _set(p, f"layers_{i}/norm2/bias", _arr(g(lp + "norm2.bias")))
+        for ours, theirs in (
+            ("q_proj", "attention.attention.query"),
+            ("k_proj", "attention.attention.key"),
+            ("v_proj", "attention.attention.value"),
+            ("out_proj", "attention.output.dense"),
+        ):
+            _set(p, f"layers_{i}/attn/{ours}/weight", _t(g(lp + theirs + ".weight")))
+            _set(p, f"layers_{i}/attn/{ours}/bias", _arr(g(lp + theirs + ".bias")))
+        _set(p, f"layers_{i}/mlp/fc1/weight", _t(g(lp + "mlp.fc1.weight")))
+        _set(p, f"layers_{i}/mlp/fc1/bias", _arr(g(lp + "mlp.fc1.bias")))
+        _set(p, f"layers_{i}/mlp/fc2/weight", _t(g(lp + "mlp.fc2.weight")))
+        _set(p, f"layers_{i}/mlp/fc2/bias", _arr(g(lp + "mlp.fc2.bias")))
+        _set(p, f"layers_{i}/ls1", _arr(g(lp + "layer_scale1.lambda1")))
+        _set(p, f"layers_{i}/ls2", _arr(g(lp + "layer_scale2.lambda1")))
+        i += 1
+    _set(p, "layernorm/weight", _arr(g("layernorm.weight")))
+    _set(p, "layernorm/bias", _arr(g("layernorm.bias")))
+    return p
+
+
 # ------------------------------------------------------------- discriminator
 
 

@@ -42,6 +42,23 @@ VFM_PRESETS: Dict[str, Dict[str, Any]] = {
         hidden_size=1152, num_layers=27, num_heads=16, mlp_dim=4304,
         patch_size=16, image_size=512, text_hidden_size=1152,
     ),
+    "dinov2-large": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+        patch_size=14, image_size=518, text_hidden_size=1024,
+    ),
+    "dinov2-base": dict(
+        hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
+        patch_size=14, image_size=518, text_hidden_size=768,
+    ),
+}
+
+# Per-family preprocessing constants (siglip2_utils.py:62-63,
+# dinov2_utils.py:54-57).
+VFM_NORMALIZATION = {
+    "siglip": ([0.5, 0.5, 0.5], [0.5, 0.5, 0.5]),
+    "dinov2": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    "mae": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    "eva": ([0.48145466, 0.4578275, 0.40821073], [0.26862954, 0.26130258, 0.27577711]),
 }
 
 VFM2INTERPOLATION = {
@@ -80,11 +97,14 @@ def vfm_preset(model_name: str) -> Dict[str, Any]:
         with open(cfg_path) as f:
             cfg = json.load(f)
         v = cfg.get("vision_config", cfg)
+        mlp_dim = v.get("intermediate_size")
+        if mlp_dim is None:  # dinov2 configs use mlp_ratio instead
+            mlp_dim = int(v["hidden_size"] * v.get("mlp_ratio", 4))
         return dict(
             hidden_size=v["hidden_size"],
             num_layers=v["num_hidden_layers"],
             num_heads=v["num_attention_heads"],
-            mlp_dim=v["intermediate_size"],
+            mlp_dim=mlp_dim,
             patch_size=v["patch_size"],
             image_size=v["image_size"],
             text_hidden_size=cfg.get("text_config", {}).get("hidden_size", v["hidden_size"]),
@@ -118,19 +138,28 @@ class VFMEncoder(nn.Module):
     def text_hidden_size(self) -> int:
         return self.preset["text_hidden_size"]
 
+    @property
+    def has_cls_prefix(self) -> bool:
+        return self.family in ("dinov2",)
+
     def setup(self):
         fam = self.family
         p = self.preset
+        common = dict(
+            hidden_size=p["hidden_size"],
+            num_layers=p["num_layers"],
+            num_heads=p["num_heads"],
+            mlp_dim=p["mlp_dim"],
+            patch_size=p["patch_size"],
+            image_size=p["image_size"],
+            name="tower",
+        )
         if fam == "siglip":
-            self.tower = SigLIPVisionTower(
-                hidden_size=p["hidden_size"],
-                num_layers=p["num_layers"],
-                num_heads=p["num_heads"],
-                mlp_dim=p["mlp_dim"],
-                patch_size=p["patch_size"],
-                image_size=p["image_size"],
-                name="tower",
-            )
+            self.tower = SigLIPVisionTower(**common)
+        elif fam == "dinov2":
+            from .vit import Dinov2Tower
+
+            self.tower = Dinov2Tower(**common)
         else:
             raise NotImplementedError(
                 f"VFM family {fam!r} tower not yet implemented in the TPU build"
@@ -150,14 +179,22 @@ class VFMEncoder(nn.Module):
     def preprocess(
         self, img: jnp.ndarray, eq_scale_factor: float = 1.0, is_eq_prior: bool = False
     ) -> jnp.ndarray:
-        """[0,1] NHWC -> model input (siglip2_utils.py:94-110)."""
+        """[0,1] NHWC -> model input (siglip2_utils.py:94-110 bilinear,
+        dinov2_utils.py:77-95 bicubic; VFM2INTERPOLATION table)."""
+        import numpy as np
+
+        from ..ops.resize import resize_bicubic
+
+        resize = resize_bicubic if VFM2INTERPOLATION.get(self.family) == "bicubic" else resize_bilinear
         if is_eq_prior and eq_scale_factor < 1.0:
-            img = resize_bilinear(img, scale_factor=eq_scale_factor, antialias=True)
+            img = resize(img, scale_factor=eq_scale_factor, antialias=True)
         if self.scale_factor != 1.0:
-            img = resize_bilinear(
+            img = resize(
                 img, scale_factor=self.scale_factor, antialias=(self.scale_factor < 1.0)
             )
-        mean, std = 0.5, 0.5
+        mean, std = VFM_NORMALIZATION.get(self.family, ([0.5] * 3, [0.5] * 3))
+        mean = jnp.asarray(np.asarray(mean, np.float32))
+        std = jnp.asarray(np.asarray(std, np.float32))
         return (img - mean) / std
 
     def encode_image(
@@ -176,10 +213,10 @@ class VFMEncoder(nn.Module):
         n = self.preset["num_layers"]
         feats = []
         for i in self.patch_from_layers:
-            if i == -1:
-                feats.append(last)
-            else:
-                feats.append(hs[i if i >= 0 else n + (i + 1)])
+            f = last if i == -1 else hs[i if i >= 0 else n + (i + 1)]
+            if self.has_cls_prefix:
+                f = f[:, 1:]  # strip CLS (dinov2_utils.py:119-126)
+            feats.append(f)
         # Frozen backbone: fp32 outputs, no grads (siglip2_utils.py:114-137).
         feats = [jax.lax.stop_gradient(f.astype(jnp.float32)) for f in feats]
         pooled = (

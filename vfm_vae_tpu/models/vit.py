@@ -155,6 +155,82 @@ class MAPHead(nn.Module):
         return out[:, 0]
 
 
+class Dinov2Tower(nn.Module):
+    """HF Dinov2Model equivalent (wrapped by networks/utils/vfms/
+    dinov2_utils.py in the reference): CLS token + grid pos-embed with
+    bicubic interpolation (fp32, no antialias), pre-LN blocks with
+    LayerScale, final LN; pooled output = CLS of the normalized sequence.
+
+    hidden_states convention matches HF (index 0 = embeddings output, i =
+    block i output); tokens INCLUDE the CLS prefix — the VFM facade strips
+    it (dinov2_utils.py:119-126).
+    """
+
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    patch_size: int = 14
+    image_size: int = 518
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(
+        self,
+        pixels: jnp.ndarray,  # NHWC normalized
+        collect: Optional[Sequence[int]] = None,
+        interpolate_pos_encoding: bool = True,
+        need_pooled: bool = True,
+    ):
+        B, H, W, _ = pixels.shape
+        D = self.hidden_size
+        p = self.patch_size
+        grid = self.image_size // p
+
+        patch_w = self.param(
+            "patch_embedding_weight", nn.initializers.lecun_normal(),
+            (p, p, pixels.shape[-1], D),
+        )
+        patch_b = self.param("patch_embedding_bias", nn.initializers.zeros, (D,))
+        x = jax.lax.conv_general_dilated(
+            pixels, patch_w.astype(pixels.dtype), (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + patch_b.astype(pixels.dtype)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, D)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, D))
+        pos = self.param(
+            "position_embeddings", nn.initializers.normal(0.02), (1 + grid * grid, D)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(x.dtype), (B, 1, D)), x], axis=1
+        )
+        if (gh, gw) != (grid, grid):
+            assert interpolate_pos_encoding
+            grid_pos = interpolate_pos_embed(pos[1:], grid, gh, gw, mode="bicubic")
+            pos_use = jnp.concatenate([pos[:1], grid_pos], axis=0)
+        else:
+            pos_use = pos
+        x = x + pos_use.astype(x.dtype)[None]
+
+        collect_set = set(collect) if collect is not None else set(range(self.num_layers + 1))
+        hidden_states: Dict[int, jnp.ndarray] = {}
+        if 0 in collect_set:
+            hidden_states[0] = x
+        for i in range(self.num_layers):
+            x = ViTBlock(
+                D, self.num_heads, self.mlp_dim, eps=self.eps, act="gelu",
+                layer_scale=True, name=f"layers_{i}",
+            )(x)
+            if (i + 1) in collect_set:
+                hidden_states[i + 1] = x
+
+        last = LayerNormFp32(D, eps=self.eps, name="layernorm")(x)
+        pooled = last[:, 0] if need_pooled else None
+        return hidden_states, last, pooled
+
+
 class SigLIPVisionTower(nn.Module):
     """HF SiglipVisionTransformer equivalent (see siglip2_utils.py wrapper).
 
