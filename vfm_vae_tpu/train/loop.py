@@ -208,12 +208,22 @@ def training_loop(
         import flax.serialization
 
         template = flax.serialization.to_state_dict(state)
-        loaded = load_snapshot(resume_path)
+        try:
+            # Template restore keeps nested-container structure exact.
+            loaded = load_snapshot(os.path.abspath(resume_path), template)
+        except Exception as e:
+            print0(f"[resume] template restore failed ({type(e).__name__}); merging loosely")
+            loaded = load_snapshot(os.path.abspath(resume_path))
+            loaded = merge_loaded(template, loaded)
         if not resume_discriminator:
-            loaded.pop("d_params", None)
-            loaded.pop("d_opt", None)
-        merged = merge_loaded(template, loaded)
-        state = flax.serialization.from_state_dict(state, merged)
+            loaded["d_params"] = template["d_params"]
+            loaded["d_opt"] = template["d_opt"]
+        state = flax.serialization.from_state_dict(state, loaded)
+        # Restored arrays land on one device; re-replicate over the mesh.
+        from ..parallel import replicated
+
+        rep = replicated(mesh)
+        state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
     eq_transform = EquivarianceTransform(
         apply=bool(lk.get("use_equivariance_regularization", False)),
