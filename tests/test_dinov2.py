@@ -79,3 +79,51 @@ def test_vfm_facade_dinov2(tiny_dinov2, tmp_path):
     grid = (28 // 7) ** 2
     assert all(f.shape == (1, grid, 64) for f in feats)  # CLS stripped
     assert pooled.shape == (1, 64)
+
+
+# ---------------------------------------------------------------- MAE
+
+
+@pytest.fixture(scope="module")
+def tiny_mae():
+    from transformers import ViTMAEConfig, ViTMAEModel
+
+    cfg = ViTMAEConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8, num_channels=3,
+        mask_ratio=0.0, attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    model = ViTMAEModel(cfg).eval()
+    return cfg, model
+
+
+def test_mae_tower_matches_hf(tiny_mae):
+    from vfm_vae_tpu.models.convert import convert_mae
+    from vfm_vae_tpu.models.vit import MAETower
+
+    cfg, model = tiny_mae
+    sd = {k: np.array(v.detach().numpy(), copy=True) for k, v in model.state_dict().items()}
+    params, buffers = convert_mae(sd)
+    tower = MAETower(
+        hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128,
+        patch_size=8, image_size=32, eps=cfg.layer_norm_eps, mask_ratio=0.0,
+    )
+    x = np.random.default_rng(9).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    # HF ViTMAE shuffles tokens by argsort(noise) even at mask_ratio=0;
+    # force identity order for a deterministic comparison (the reference
+    # wrapper runs with random shuffling — an upstream artifact).
+    n_tok = (32 // 8) ** 2
+    noise = torch.arange(n_tok, dtype=torch.float32)[None].repeat(2, 1) / n_tok
+    with torch.no_grad():
+        out = model(torch.from_numpy(x), noise=noise, output_hidden_states=True)
+    hs, last, pooled = tower.apply(
+        {"params": params, "buffers": buffers},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), collect=[0, 1, 2],
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs[0]), out.hidden_states[0].numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(last), out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-4
+    )

@@ -333,6 +333,40 @@ def convert_dinov2(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any
     return p
 
 
+
+def convert_mae(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """HF ViTMAEModel state_dict -> MAETower (params, buffers)."""
+    p: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]
+    _set(p, "patch_embedding_weight", _conv(g("embeddings.patch_embeddings.projection.weight")))
+    _set(p, "patch_embedding_bias", _arr(g("embeddings.patch_embeddings.projection.bias")))
+    _set(p, "cls_token", _arr(g("embeddings.cls_token")))
+    i = 0
+    while prefix + f"encoder.layer.{i}.layernorm_before.weight" in sd:
+        lp = f"encoder.layer.{i}."
+        _set(p, f"layers_{i}/norm1/weight", _arr(g(lp + "layernorm_before.weight")))
+        _set(p, f"layers_{i}/norm1/bias", _arr(g(lp + "layernorm_before.bias")))
+        _set(p, f"layers_{i}/norm2/weight", _arr(g(lp + "layernorm_after.weight")))
+        _set(p, f"layers_{i}/norm2/bias", _arr(g(lp + "layernorm_after.bias")))
+        for ours, theirs in (
+            ("q_proj", "attention.attention.query"),
+            ("k_proj", "attention.attention.key"),
+            ("v_proj", "attention.attention.value"),
+            ("out_proj", "attention.output.dense"),
+        ):
+            _set(p, f"layers_{i}/attn/{ours}/weight", _t(g(lp + theirs + ".weight")))
+            _set(p, f"layers_{i}/attn/{ours}/bias", _arr(g(lp + theirs + ".bias")))
+        _set(p, f"layers_{i}/mlp/fc1/weight", _t(g(lp + "intermediate.dense.weight")))
+        _set(p, f"layers_{i}/mlp/fc1/bias", _arr(g(lp + "intermediate.dense.bias")))
+        _set(p, f"layers_{i}/mlp/fc2/weight", _t(g(lp + "output.dense.weight")))
+        _set(p, f"layers_{i}/mlp/fc2/bias", _arr(g(lp + "output.dense.bias")))
+        i += 1
+    _set(p, "layernorm/weight", _arr(g("layernorm.weight")))
+    _set(p, "layernorm/bias", _arr(g("layernorm.bias")))
+    b = {"position_embeddings": np.asarray(g("embeddings.position_embeddings"))[0]}
+    return p, b
+
+
 # ------------------------------------------------------------- discriminator
 
 

@@ -50,6 +50,14 @@ VFM_PRESETS: Dict[str, Dict[str, Any]] = {
         hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
         patch_size=14, image_size=518, text_hidden_size=768,
     ),
+    "vit-mae-large": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+        patch_size=16, image_size=224, text_hidden_size=1024,
+    ),
+    "vit-mae-base": dict(
+        hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
+        patch_size=16, image_size=224, text_hidden_size=768,
+    ),
 }
 
 # Per-family preprocessing constants (siglip2_utils.py:62-63,
@@ -140,7 +148,7 @@ class VFMEncoder(nn.Module):
 
     @property
     def has_cls_prefix(self) -> bool:
-        return self.family in ("dinov2",)
+        return self.family in ("dinov2", "mae")
 
     def setup(self):
         fam = self.family
@@ -160,6 +168,10 @@ class VFMEncoder(nn.Module):
             from .vit import Dinov2Tower
 
             self.tower = Dinov2Tower(**common)
+        elif fam == "mae":
+            from .vit import MAETower
+
+            self.tower = MAETower(**common)
         else:
             raise NotImplementedError(
                 f"VFM family {fam!r} tower not yet implemented in the TPU build"

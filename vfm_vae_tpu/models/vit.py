@@ -231,6 +231,106 @@ class Dinov2Tower(nn.Module):
         return hidden_states, last, pooled
 
 
+class MAETower(nn.Module):
+    """HF ViTMAEModel encoder equivalent (wrapped by networks/utils/vfms/
+    mae_utils.py): CLS + fixed sin-cos pos embeds, pre-LN blocks
+    (eps 1e-12), final LN. No dynamic resolution (reference README warns the
+    same). `mask_ratio=0` by default — the reference runs HF's 75% random
+    masking even at eval (mae_utils.py uses ViTMAEModel verbatim), which is
+    an upstream artifact, not a feature; set mask_ratio>0 to reproduce it.
+
+    hidden-state convention: 0 = embeddings output, i = block i output;
+    tokens include the CLS prefix (facade strips it, mae_utils.py:130-137).
+    """
+
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    patch_size: int = 16
+    image_size: int = 224
+    eps: float = 1e-12
+    mask_ratio: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        pixels: jnp.ndarray,
+        collect: Optional[Sequence[int]] = None,
+        interpolate_pos_encoding: bool = True,
+        need_pooled: bool = True,
+        mask_rng: Optional[jax.Array] = None,
+    ):
+        B, H, W, _ = pixels.shape
+        D, p = self.hidden_size, self.patch_size
+        grid = self.image_size // p
+        assert (H, W) == (self.image_size, self.image_size), (
+            "MAE has no dynamic-resolution support (reference README.md:202-204)"
+        )
+
+        patch_w = self.param(
+            "patch_embedding_weight", nn.initializers.lecun_normal(), (p, p, pixels.shape[-1], D)
+        )
+        patch_b = self.param("patch_embedding_bias", nn.initializers.zeros, (D,))
+        x = jax.lax.conv_general_dilated(
+            pixels, patch_w.astype(pixels.dtype), (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + patch_b.astype(pixels.dtype)
+        x = x.reshape(B, grid * grid, D)
+
+        pos = self.variable(
+            "buffers", "position_embeddings",
+            lambda: jnp.asarray(_sincos_pos_embed_2d(D, grid), jnp.float32),
+        ).value  # (1+N, D) incl. CLS row of zeros
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, D))
+        x = x + pos[1:].astype(x.dtype)[None]
+
+        if self.mask_ratio > 0 and mask_rng is not None:
+            n_keep = int(x.shape[1] * (1 - self.mask_ratio))
+            noise = jax.random.uniform(mask_rng, (B, x.shape[1]))
+            keep = jnp.argsort(noise, axis=1)[:, :n_keep]
+            x = jnp.take_along_axis(x, keep[:, :, None], axis=1)
+
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (B, 1, D)) + pos[:1].astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+
+        collect_set = set(collect) if collect is not None else set(range(self.num_layers + 1))
+        hidden_states: Dict[int, jnp.ndarray] = {}
+        if 0 in collect_set:
+            hidden_states[0] = x
+        for i in range(self.num_layers):
+            x = ViTBlock(
+                D, self.num_heads, self.mlp_dim, eps=self.eps, act="gelu",
+                name=f"layers_{i}",
+            )(x)
+            if (i + 1) in collect_set:
+                hidden_states[i + 1] = x
+
+        last = LayerNormFp32(D, eps=self.eps, name="layernorm")(x)
+        # Pooled = mean over patch tokens (mae_utils.py:138).
+        pooled = jnp.mean(last[:, 1:], axis=1) if need_pooled else None
+        return hidden_states, last, pooled
+
+
+def _sincos_pos_embed_2d(dim: int, grid: int) -> "np.ndarray":
+    """MAE's fixed 2D sin-cos position embedding with a zero CLS row."""
+    import numpy as np
+
+    def get_1d(d, positions):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", positions.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    coords_h = np.arange(grid, dtype=np.float64)
+    coords_w = np.arange(grid, dtype=np.float64)
+    gw, gh = np.meshgrid(coords_w, coords_h)
+    emb_h = get_1d(dim // 2, gh)
+    emb_w = get_1d(dim // 2, gw)
+    pos = np.concatenate([emb_h, emb_w], axis=1)
+    return np.concatenate([np.zeros((1, dim)), pos], axis=0).astype(np.float32)
+
+
 class SigLIPVisionTower(nn.Module):
     """HF SiglipVisionTransformer equivalent (see siglip2_utils.py wrapper).
 
