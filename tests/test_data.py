@@ -122,3 +122,21 @@ def test_wds_wrapper(tmp_path):
     assert len(ds.urls) == 2
     assert ds.image_shape == [32, 32, 3]
     assert len(ds) == 1281167
+
+
+def test_image_folder_dataset(tmp_path):
+    import PIL.Image
+    from vfm_vae_tpu.data.zipfolder import ImageFolderDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), resolution=32, xflip=True)
+    assert len(ds) == 12
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3)
+    img_f, _ = ds[6]  # xflip twin of ds[0]
+    np.testing.assert_array_equal(img_f, img[:, ::-1])
+    batches = list(ds.batches(4))
+    assert sum(b[0].shape[0] for b in batches) == 12

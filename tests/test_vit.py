@@ -79,3 +79,30 @@ def test_collect_subset_saves_outputs(tiny_siglip):
     x = jnp.zeros((1, 32, 32, 3))
     hs, last, pooled = tower.apply(variables, x, collect=[1])
     assert set(hs.keys()) == {1}
+
+
+def test_siglip_text_tower_matches_hf():
+    from transformers import SiglipTextConfig, SiglipTextModel
+    from vfm_vae_tpu.models.convert import convert_siglip_text
+    from vfm_vae_tpu.models.vit import SigLIPTextTower
+    import jax.numpy as jnp
+
+    cfg = SiglipTextConfig(
+        vocab_size=200, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128, max_position_embeddings=16,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    model = SiglipTextModel(cfg).eval()
+    sd = {k: np.array(v.detach().numpy(), copy=True) for k, v in model.state_dict().items()}
+    params = convert_siglip_text(sd)
+    tower = SigLIPTextTower(
+        vocab_size=200, hidden_size=64, num_layers=2, num_heads=4,
+        mlp_dim=128, max_length=16,
+    )
+    ids = np.random.default_rng(0).integers(0, 200, (2, 16))
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids))
+    seq, pooled = tower.apply({"params": params}, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(seq), out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(), rtol=2e-4, atol=2e-4)

@@ -53,9 +53,9 @@ def build_generator(config_path: str, snapshot: str):
               use_equivariance_regularization=False)
     G = get_class_by_name("networks.generator.Generator")(**gk)
     res = G.img_resolution
-    variables = G.init(
-        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, res, res, 3)), train=False
-    )
+    variables = jax.jit(
+        lambda r: G.init({"params": r}, jnp.zeros((1, res, res, 3)), train=False)
+    )(jax.random.PRNGKey(0))
     snap = load_snapshot(os.path.abspath(snapshot))
     params = snap.get("ema_params") or snap.get("g_params")
     want = tu.flatten_dict(variables["params"], sep="/")

@@ -69,7 +69,7 @@ def main():
 
     res = G.img_resolution
     init_img = jnp.zeros((1, res, res, 3))
-    variables = G.init({"params": jax.random.PRNGKey(0)}, init_img, train=False)
+    variables = jax.jit(lambda r: G.init({"params": r}, init_img, train=False))(jax.random.PRNGKey(0))
     snap = load_snapshot(os.path.abspath(args.snapshot))
     params = snap.get("ema_params") or snap.get("g_params")
     assert params is not None, "snapshot has no generator params"

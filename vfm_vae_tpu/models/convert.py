@@ -83,6 +83,34 @@ def convert_siglip_vision(sd: Dict[str, np.ndarray], prefix: str = "vision_model
     return p
 
 
+
+def convert_siglip_text(sd: Dict[str, np.ndarray], prefix: str = "text_model.") -> Dict[str, Any]:
+    """HF SiglipTextModel state_dict -> SigLIPTextTower params."""
+    p: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]
+    _set(p, "token_embedding", _arr(g("embeddings.token_embedding.weight")))
+    _set(p, "position_embedding", _arr(g("embeddings.position_embedding.weight")))
+    i = 0
+    while prefix + f"encoder.layers.{i}.layer_norm1.weight" in sd:
+        lp = f"encoder.layers.{i}."
+        _set(p, f"layers_{i}/norm1/weight", _arr(g(lp + "layer_norm1.weight")))
+        _set(p, f"layers_{i}/norm1/bias", _arr(g(lp + "layer_norm1.bias")))
+        _set(p, f"layers_{i}/norm2/weight", _arr(g(lp + "layer_norm2.weight")))
+        _set(p, f"layers_{i}/norm2/bias", _arr(g(lp + "layer_norm2.bias")))
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(p, f"layers_{i}/attn/{proj}/weight", _t(g(lp + f"self_attn.{proj}.weight")))
+            _set(p, f"layers_{i}/attn/{proj}/bias", _arr(g(lp + f"self_attn.{proj}.bias")))
+        for fc in ("fc1", "fc2"):
+            _set(p, f"layers_{i}/mlp/{fc}/weight", _t(g(lp + f"mlp.{fc}.weight")))
+            _set(p, f"layers_{i}/mlp/{fc}/bias", _arr(g(lp + f"mlp.{fc}.bias")))
+        i += 1
+    _set(p, "final_layer_norm/weight", _arr(g("final_layer_norm.weight")))
+    _set(p, "final_layer_norm/bias", _arr(g("final_layer_norm.bias")))
+    _set(p, "head/weight", _t(g("head.weight")))
+    _set(p, "head/bias", _arr(g("head.bias")))
+    return p
+
+
 # ---------------------------------------------------------------- decoder
 
 

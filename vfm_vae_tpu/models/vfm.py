@@ -172,6 +172,16 @@ class VFMEncoder(nn.Module):
             from .vit import MAETower
 
             self.tower = MAETower(**common)
+        if fam == "siglip" and self.conditional and self.label_type in ("text", "cls2text"):
+            from .vit import SigLIPTextTower
+
+            self.text_tower = SigLIPTextTower(
+                hidden_size=p["text_hidden_size"],
+                num_layers=p["num_layers"],
+                num_heads=p["num_heads"],
+                mlp_dim=p["mlp_dim"],
+                name="text_tower",
+            )
         else:
             raise NotImplementedError(
                 f"VFM family {fam!r} tower not yet implemented in the TPU build"
@@ -237,8 +247,20 @@ class VFMEncoder(nn.Module):
         return feats, pooled
 
     def encode_text(self, text):
-        """Text branch (siglip2_utils.py:139-164). Only needed for
-        conditional text/cls2text configs; returns None triple otherwise."""
+        """Text branch (siglip2_utils.py:139-164): takes PRE-TOKENIZED input
+        {'input_ids': (B, 64) int32, 'attention_mask': (B, 64)} produced by
+        data/tokenize.py (the host-side tokenizer; padding='max_length' 64).
+        Returns (fine_tokens, pooled, bool_mask); None triple when the
+        config is unconditional."""
         if not (self.conditional and self.label_type in ("text", "cls2text")):
             return None, None, None
-        raise NotImplementedError("SigLIP2 text tower lands with the conditional path")
+        assert isinstance(text, dict) and "input_ids" in text, (
+            "conditional text path expects tokenized {'input_ids', 'attention_mask'}"
+        )
+        ids = text["input_ids"].astype(jnp.int32)
+        seq, pooled = self.text_tower(ids)
+        seq = jax.lax.stop_gradient(seq.astype(jnp.float32))
+        pooled = jax.lax.stop_gradient(pooled.astype(jnp.float32))
+        mask = text.get("attention_mask")
+        mask = mask.astype(bool) if mask is not None else jnp.ones(ids.shape, bool)
+        return seq, pooled, mask

@@ -112,6 +112,41 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class SigLIPTextTower(nn.Module):
+    """HF SiglipTextModel equivalent (reference text branch,
+    siglip2_utils.py:70-79, 139-164): learned token + position embeddings,
+    pre-LN blocks, final LN; pooled = linear head over the LAST token.
+    Takes pre-tokenized ids (host-side tokenizer, data layer)."""
+
+    vocab_size: int = 256000
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    max_length: int = 64
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray):
+        B, L = input_ids.shape
+        D = self.hidden_size
+        tok = self.param(
+            "token_embedding", nn.initializers.normal(0.02), (self.vocab_size, D)
+        )
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02), (self.max_length, D)
+        )
+        x = tok[input_ids] + pos[None, :L]
+        for i in range(self.num_layers):
+            x = ViTBlock(
+                D, self.num_heads, self.mlp_dim, eps=self.eps, act="gelu_tanh",
+                name=f"layers_{i}",
+            )(x)
+        x = LayerNormFp32(D, eps=self.eps, name="final_layer_norm")(x)
+        pooled = Linear(D, D, name="head")(x[:, -1])
+        return x, pooled
+
+
 class MAPHead(nn.Module):
     """SigLIP multihead-attention-pooling head (probe token cross-attn,
     torch nn.MultiheadAttention packed-qkv layout)."""

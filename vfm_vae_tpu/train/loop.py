@@ -115,8 +115,8 @@ def training_loop(
 
     res = G.img_resolution
     init_img = jnp.zeros((2, res, res, 3))
-    gv = G.init({"params": jax.random.PRNGKey(random_seed)}, init_img, train=False)
-    dv = D.init({"params": jax.random.PRNGKey(random_seed + 1)}, init_img, train=False)
+    gv = jax.jit(lambda r: G.init({"params": r}, init_img, train=False))(jax.random.PRNGKey(random_seed))
+    dv = jax.jit(lambda r: D.init({"params": r}, init_img, train=False))(jax.random.PRNGKey(random_seed + 1))
     g_params, g_bufs = gv["params"], gv.get("buffers", {})
     d_params, d_bufs = dv["params"], dv.get("buffers", {})
 
