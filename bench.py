@@ -24,22 +24,22 @@ def main():
 
     fn, (variables, _) = entry()
 
-    batch = 32
+    batch = 64
     img = jnp.asarray(
         np.random.default_rng(0).random((batch, 256, 256, 3)), jnp.float32
     )
     jfn = jax.jit(fn)
 
-    # Warm up / compile.
-    out = jfn(variables, img)
-    jax.block_until_ready(out)
+    # Warm up / compile. Force a host read of a scalar derived from the
+    # output — block_until_ready alone does not guarantee execution through
+    # the axon tunnel and reports fantasy numbers.
+    _ = float(jnp.sum(jfn(variables, img)))
 
-    # Timed runs.
-    iters = 10
+    # Timed runs (each forces the result to host).
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jfn(variables, img)
-    jax.block_until_ready(out)
+        _ = float(jnp.sum(jfn(variables, img)))
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt

@@ -172,6 +172,10 @@ class VFMEncoder(nn.Module):
             from .vit import MAETower
 
             self.tower = MAETower(**common)
+        else:
+            raise NotImplementedError(
+                f"VFM family {fam!r} tower not yet implemented in the TPU build"
+            )
         if fam == "siglip" and self.conditional and self.label_type in ("text", "cls2text"):
             from .vit import SigLIPTextTower
 
@@ -181,10 +185,6 @@ class VFMEncoder(nn.Module):
                 num_heads=p["num_heads"],
                 mlp_dim=p["mlp_dim"],
                 name="text_tower",
-            )
-        else:
-            raise NotImplementedError(
-                f"VFM family {fam!r} tower not yet implemented in the TPU build"
             )
 
     def _hidden_indices(self) -> List[int]:
