@@ -82,3 +82,23 @@ def test_psnr_known_value():
     b = jnp.full((1, 8, 8, 3), 0.1)
     # mse = 0.01 -> psnr = 20 dB for data_range 1
     np.testing.assert_allclose(float(psnr(a, b)[0]), 20.0, rtol=1e-4)
+
+
+def test_inception_features_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.metrics.inception import InceptionV3Features
+
+    m = InceptionV3Features()
+    x = jnp.asarray(np.random.default_rng(5).random((2, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(lambda r: m.init(r, x))(jax.random.PRNGKey(0))
+    feats = m.apply(variables, x)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()
+    # structural check: converter-compatible param tree
+    import flax.traverse_util as tu
+
+    keys = tu.flatten_dict(variables["params"], sep="/")
+    assert "Mixed_7c/branch_pool/conv" in keys
+    assert "Conv2d_1a_3x3/conv" in keys
