@@ -27,19 +27,11 @@ def dot_product_attention(
     """SDPA matching torch semantics (scale defaults to H^-0.5, bool mask
     True = attend). fp32 softmax accumulation regardless of input dtype."""
     if use_pallas is None:
-        use_pallas = _pallas_eligible(q, k, mask)
+        from .pallas.flash_attention import flash_eligible
+
+        use_pallas = flash_eligible(q, k, mask)
     if use_pallas:
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
     return jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
-
-
-def _pallas_eligible(q, k, mask) -> bool:
-    if mask is not None:
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    # Worth it for long sequences; short ones are fine in the XLA path.
-    head = q.shape[-1]
-    return q.shape[1] >= 1024 and k.shape[1] >= 1024 and head % 128 == 0

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.logging import format_time, print0
+from ..core.profiling import PhaseTimer, device_memory_stats, host_memory_stats
 from ..core.stats import Collector
 from ..models.adapter import EquivarianceTransform
 from ..models.generator import trainable_mask, trainable_path_predicates
@@ -240,6 +241,7 @@ def training_loop(
 
     d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
     g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+    timer = PhaseTimer()
 
     # ------------------------------------------------------------ loop
     print0(f"Training for {total_kimg} kimg (resume at {resume_kimg})...")
@@ -271,9 +273,13 @@ def training_loop(
 
             host_rng, r1, r2 = jax.random.split(host_rng, 3)
             eq_d = eq_transform(np_rng)
-            state, d_stats, _ = d_step(state, real, real_c, r1, eq_d)
+            with timer.phase("Timing/D"):
+                state, d_stats, d_total = d_step(state, real, real_c, r1, eq_d)
+                jax.block_until_ready(d_total)
             eq_g = eq_transform(np_rng)
-            state, g_stats, _ = g_step(state, real, real_c, r2, eq_g)
+            with timer.phase("Timing/G"):
+                state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
+                jax.block_until_ready(g_total)
             step_count += 1
             cur_nimg += images.shape[0]
 
@@ -309,8 +315,15 @@ def training_loop(
                     "Progress/kimg": cur_nimg / 1000,
                     "Timing/total_sec": total_time,
                     "Timing/sec_per_tick": tick_time,
+                    "Timing/sec_per_kimg": tick_time
+                    / max((cur_nimg - tick_start_nimg) / 1000, 1e-8),
+                    "Timing/D": timer.mean("Timing/D"),
+                    "Timing/G": timer.mean("Timing/G"),
                     "timestamp": time.time(),
                 }
+                entry.update(device_memory_stats())
+                entry.update(host_memory_stats())
+                timer.reset()
                 entry.update(
                     {name: collector.mean(name) for name in collector.names()}
                 )
