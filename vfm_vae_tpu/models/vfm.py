@@ -58,12 +58,19 @@ VFM_PRESETS: Dict[str, Dict[str, Any]] = {
         hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
         patch_size=16, image_size=224, text_hidden_size=768,
     ),
+    "qwen2.5-vl-7b": dict(
+        hidden_size=1280, num_layers=32, num_heads=16, mlp_dim=3420,
+        patch_size=14, image_size=0, text_hidden_size=3584,
+        out_hidden_size=3584, temporal_patch_size=2, spatial_merge_size=2,
+        window_size=112, fullatt_block_indexes=(7, 15, 23, 31),
+    ),
 }
 
 # Per-family preprocessing constants (siglip2_utils.py:62-63,
 # dinov2_utils.py:54-57).
 VFM_NORMALIZATION = {
     "siglip": ([0.5, 0.5, 0.5], [0.5, 0.5, 0.5]),
+    "qwen": ([0.48145466, 0.4578275, 0.40821073], [0.26862954, 0.26130258, 0.27577711]),
     "dinov2": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
     "mae": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
     "eva": ([0.48145466, 0.4578275, 0.40821073], [0.26862954, 0.26130258, 0.27577711]),
@@ -172,6 +179,22 @@ class VFMEncoder(nn.Module):
             from .vit import MAETower
 
             self.tower = MAETower(**common)
+        elif fam == "qwen":
+            from .qwen import QwenVisionTower
+
+            self.tower = QwenVisionTower(
+                hidden_size=p["hidden_size"],
+                depth=p["num_layers"],
+                num_heads=p["num_heads"],
+                mlp_dim=p["mlp_dim"],
+                out_hidden_size=p["out_hidden_size"],
+                patch_size=p["patch_size"],
+                temporal_patch_size=p.get("temporal_patch_size", 2),
+                spatial_merge_size=p.get("spatial_merge_size", 2),
+                window_size=p.get("window_size", 112),
+                fullatt_block_indexes=tuple(p.get("fullatt_block_indexes", (7, 15, 23, 31))),
+                name="tower",
+            )
         else:
             raise NotImplementedError(
                 f"VFM family {fam!r} tower not yet implemented in the TPU build"
@@ -228,6 +251,8 @@ class VFMEncoder(nn.Module):
     ) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
         x = self.preprocess(img, eq_scale_factor, is_eq_prior)
         x = x.astype(self.compute_dtype)
+        if self.family == "qwen":
+            return self._encode_image_qwen(x)
         collect = self._hidden_indices()
         hs, last, pooled = self.tower(
             x, collect=collect, interpolate_pos_encoding=True, need_pooled=need_pooled
@@ -245,6 +270,25 @@ class VFMEncoder(nn.Module):
             jax.lax.stop_gradient(pooled.astype(jnp.float32)) if pooled is not None else None
         )
         return feats, pooled
+
+    def _encode_image_qwen(self, x):
+        """Qwen path (qwen_utils.py:205-261): manual patchify, per-block
+        hook features in window order, merger output as layer -1, mean-pooled
+        global token."""
+        from .qwen import qwen_patchify
+
+        p = self.preset
+        patches, grid = qwen_patchify(
+            x, p["patch_size"], p.get("temporal_patch_size", 2), p.get("spatial_merge_size", 2)
+        )
+        n = p["num_layers"]
+        collect = [i if i >= 0 else n + (i + 1) for i in self.patch_from_layers if i != -1]
+        hidden, merged, pooled = self.tower(patches, grid, collect=collect)
+        feats = []
+        for i in self.patch_from_layers:
+            f = merged if i == -1 else hidden[i if i >= 0 else n + (i + 1)]
+            feats.append(jax.lax.stop_gradient(f.astype(jnp.float32)))
+        return feats, jax.lax.stop_gradient(pooled.astype(jnp.float32))
 
     def encode_text(self, text):
         """Text branch (siglip2_utils.py:139-164): takes PRE-TOKENIZED input
