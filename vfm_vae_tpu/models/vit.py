@@ -54,6 +54,7 @@ class MultiHeadSelfAttention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +67,8 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(B, N, h, d)
         k = k.reshape(B, N, h, d)
         v = v.reshape(B, N, h, d)
-        out = dot_product_attention(q, k, v).reshape(B, N, self.dim)
+        mask = jnp.tril(jnp.ones((N, N), bool))[None, None] if self.causal else None
+        out = dot_product_attention(q, k, v, mask=mask).reshape(B, N, self.dim)
         return Linear(self.dim, self.dim, name="out_proj")(out)
 
 
@@ -93,10 +95,11 @@ class ViTBlock(nn.Module):
     eps: float = 1e-6
     act: str = "gelu_tanh"
     layer_scale: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = MultiHeadSelfAttention(self.dim, self.num_heads, name="attn")(
+        h = MultiHeadSelfAttention(self.dim, self.num_heads, causal=self.causal, name="attn")(
             LayerNormFp32(self.dim, eps=self.eps, name="norm1")(x)
         )
         if self.layer_scale:

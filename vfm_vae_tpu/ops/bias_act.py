@@ -35,6 +35,10 @@ activation_funcs = {
     "gelu": EasyDict(func=lambda x, alpha: jax.nn.gelu(x, approximate=False), def_alpha=0.0, def_gain=1.0),
     "gelu_tanh": EasyDict(func=lambda x, alpha: jax.nn.gelu(x, approximate=True), def_alpha=0.0, def_gain=1.0),
     "silu": EasyDict(func=lambda x, alpha: jax.nn.silu(x), def_alpha=0.0, def_gain=1.0),
+    # HF CLIP's quick_gelu.
+    "quick_gelu": EasyDict(
+        func=lambda x, alpha: x * jax.nn.sigmoid(1.702 * x), def_alpha=0.0, def_gain=1.0
+    ),
 }
 
 

@@ -206,6 +206,8 @@ class TotalLoss:
         resume_kimg: int = 0,
         use_equivariance_regularization: bool = False,
         lpips_module=None,
+        clip_module=None,
+        clip_params=None,
         blur_init_sigma: float = 2.0,
         blur_fade_kimg: int = 0,
         l1_pixel_loss_weight: float = 1.0,
@@ -238,6 +240,8 @@ class TotalLoss:
         self.G = G
         self.D = D
         self.lpips = lpips_module
+        self.clip = clip_module
+        self.clip_params = clip_params
         self.vfm_name = vfm_name.lower()
         self.interpolation = "bicubic" if any(
             k in self.vfm_name for k in ("qwen", "dino", "eva")
@@ -318,6 +322,7 @@ class TotalLoss:
         eq: Tuple[float, int, bool],
         cur_nimg,
         blur_sigma: float = 0.0,
+        clip_text_features=None,
     ):
         """Returns (terms tuple ordered as G_TERMS, aux dict). Differentiable
         w.r.t. g_params (d_params frozen in this phase)."""
@@ -399,6 +404,26 @@ class TotalLoss:
                 ms_total = ms_total + w * li
                 tstats.report(stats, f"Loss/G/multiscale_pixel_loss_block{i:01d}", li)
             terms["multiscale_pixel_loss"] = ms_total * in_window
+
+        # CLIP loss (loss.py:820-831): [0,1] gen image -> random 64-crop ->
+        # resize 224 -> CLIP image features vs text features, spherical
+        # distance; gated on clip_loss_start_kimg in-graph.
+        if self.clip_loss_weight > 0 and self.clip is not None and clip_text_features is not None:
+            g01 = (gen_img + 1.0) / 2.0
+            if g01.shape[1] > 64 and rngs.get("clip_crop") is not None:
+                r1, r2 = jax.random.split(rngs["clip_crop"])
+                oy = jax.random.randint(r1, (), 0, g01.shape[1] - 64 + 1)
+                ox = jax.random.randint(r2, (), 0, g01.shape[2] - 64 + 1)
+                g01 = jax.lax.dynamic_slice(
+                    g01, (0, oy, ox, 0), (g01.shape[0], 64, 64, g01.shape[3])
+                )
+            imf = self.clip.apply(
+                {"params": self.clip_params}, g01, method=self.clip.encode_image
+            )
+            gate = (cur_nimg >= self.clip_loss_start_kimg * 1e3).astype(jnp.float32)
+            terms["clip_loss"] = gate * jnp.mean(
+                spherical_distance(imf, clip_text_features)
+            )
 
         # Aux generator losses.
         if self.vf_loss_weight > 0:
