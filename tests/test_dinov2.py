@@ -127,3 +127,39 @@ def test_mae_tower_matches_hf(tiny_mae):
     np.testing.assert_allclose(
         np.asarray(last), out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------- EVA
+
+
+def test_eva_tower_smoke():
+    """No timm offline -> structural smoke only (see models/eva.py note)."""
+    import jax
+    from vfm_vae_tpu.models.eva import EVATower
+
+    tower = EVATower(
+        hidden_size=64, num_layers=2, num_heads=4, mlp_dim=96,
+        patch_size=8, image_size=32,
+    )
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = jax.jit(lambda r: tower.init(r, x))(jax.random.PRNGKey(0))
+    hs, last, pooled = tower.apply(variables, x, collect=[0, 1, 2])
+    assert last.shape == (2, 17, 64) and pooled.shape == (2, 64)
+    # dynamic resolution
+    hs2, last2, _ = tower.apply(variables, jnp.zeros((1, 16, 16, 3)), collect=[2])
+    assert last2.shape == (1, 5, 64)
+
+
+def test_vfm_facade_eva():
+    import jax
+    from vfm_vae_tpu.models.vfm import VFMEncoder, VFM_PRESETS
+
+    VFM_PRESETS["eva02-tiny"] = dict(
+        hidden_size=64, num_layers=2, num_heads=4, mlp_dim=96,
+        patch_size=8, image_size=32, text_hidden_size=64,
+    )
+    enc = VFMEncoder(model_name="eva02-tiny", scale_factor=1.0, patch_from_layers=[0, 1, -1])
+    img = jnp.zeros((1, 32, 32, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, img, method=enc.encode_image)
+    feats, pooled = enc.apply(variables, img, method=enc.encode_image)
+    assert all(f.shape == (1, 16, 64) for f in feats)  # CLS stripped

@@ -58,6 +58,14 @@ VFM_PRESETS: Dict[str, Dict[str, Any]] = {
         hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
         patch_size=16, image_size=224, text_hidden_size=768,
     ),
+    "eva02-large-patch14-448": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=2730,
+        patch_size=14, image_size=448, text_hidden_size=1024,
+    ),
+    "eva02-base-patch14-448": dict(
+        hidden_size=768, num_layers=12, num_heads=12, mlp_dim=2048,
+        patch_size=14, image_size=448, text_hidden_size=768,
+    ),
     "qwen2.5-vl-7b": dict(
         hidden_size=1280, num_layers=32, num_heads=16, mlp_dim=3420,
         patch_size=14, image_size=0, text_hidden_size=3584,
@@ -155,7 +163,7 @@ class VFMEncoder(nn.Module):
 
     @property
     def has_cls_prefix(self) -> bool:
-        return self.family in ("dinov2", "mae")
+        return self.family in ("dinov2", "mae", "eva")
 
     def setup(self):
         fam = self.family
@@ -179,6 +187,10 @@ class VFMEncoder(nn.Module):
             from .vit import MAETower
 
             self.tower = MAETower(**common)
+        elif fam == "eva":
+            from .eva import EVATower
+
+            self.tower = EVATower(**common)
         elif fam == "qwen":
             from .qwen import QwenVisionTower
 
