@@ -220,3 +220,37 @@ def test_sdpa_matches_torch():
         ).permute(0, 2, 1, 3)
     y = ops.dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- filtered_lrelu
+
+
+@pytest.mark.parametrize("up,down,padding", [(1, 1, 0), (2, 1, 1), (2, 2, (1, 1, 2, 2))])
+def test_filtered_lrelu_matches_reference(up, down, padding):
+    ref = import_reference("torch_utils.ops.filtered_lrelu")
+    ref_up = import_reference("torch_utils.ops.upfirdn2d")
+    from vfm_vae_tpu.ops.filtered_lrelu import filtered_lrelu
+
+    x = rand_nhwc(2, 10, 10, 4)
+    b = RNG.standard_normal(4).astype(np.float32)
+    fu = ref_up.setup_filter([1, 3, 3, 1])
+    fd = ref_up.setup_filter([1, 2, 1])
+    with torch.no_grad():
+        y_ref = ref.filtered_lrelu(
+            to_nchw_tensor(x), fu=fu, fd=fd, b=torch.from_numpy(b),
+            up=up, down=down, padding=padding, clamp=2.0, impl="ref",
+        )
+    from vfm_vae_tpu.ops.upfirdn import setup_filter
+
+    y = filtered_lrelu(
+        jnp.asarray(x), fu=setup_filter([1, 3, 3, 1]), fd=setup_filter([1, 2, 1]),
+        b=jnp.asarray(b), up=up, down=down, padding=padding, clamp=2.0,
+    )
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fma():
+    from vfm_vae_tpu.ops.fma import fma
+
+    a, b, c = (jnp.asarray(rand_nhwc(1, 2, 2, 3)) for _ in range(3))
+    np.testing.assert_allclose(np.asarray(fma(a, b, c)), np.asarray(a * b + c))

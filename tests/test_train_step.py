@@ -158,3 +158,31 @@ def test_eq_bucket_step(rig, mesh8):
         g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
         state1, stats, total = g_step(state, real_sh, None, rng, (0.5, 1, False))
         assert np.isfinite(float(total))
+
+
+def test_grad_accumulation(rig, mesh8):
+    """accumulate_gradients=2 runs and matches batch semantics (sum of
+    microbatch grads, single Adam step)."""
+    import copy
+    from vfm_vae_tpu.train.train_step import Trainer
+
+    trainer, state, mask = rig
+    t2 = Trainer(
+        trainer.loss, trainer.g_tx, trainer.d_tx,
+        lpips_params=trainer.lpips_params, g_trainable_mask=mask,
+        vf_anchor_path=trainer.vf_anchor_path, batch_size=8,
+        ema_kimg=1.0, num_accumulation=2,
+    )
+    rng = jax.random.PRNGKey(5)
+    real = np.random.default_rng(3).random((8, 32, 32, 3)).astype(np.float32)
+    with jax.sharding.set_mesh(mesh8):
+        from vfm_vae_tpu.parallel import shard_batch
+
+        real_sh = shard_batch(mesh8, jnp.asarray(real))
+        g_step = jax.jit(t2.g_step, static_argnames=("eq", "blur_sigma"))
+        s1, stats, total = g_step(state, real_sh, None, rng, (1.0, 0, False))
+        assert np.isfinite(float(total))
+        assert float(s1.cur_nimg) == 8
+        d_step = jax.jit(t2.d_step, static_argnames=("eq", "blur_sigma"))
+        s2, dstats, dtotal = d_step(s1, real_sh, None, rng, (1.0, 0, False))
+        assert np.isfinite(float(dtotal))

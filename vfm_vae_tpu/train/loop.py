@@ -121,6 +121,11 @@ def training_loop(
     g_params, g_bufs = gv["params"], gv.get("buffers", {})
     d_params, d_bufs = dv["params"], dv.get("buffers", {})
 
+    from ..core.summary import module_summary
+
+    print0(module_summary(g_params, g_bufs, name="Generator"))
+    print0(module_summary(d_params, d_bufs, name="Discriminator"))
+
     # LPIPS.
     lk = {k: v for k, v in loss_kwargs.items() if k != "class_name"}
     lpips_module = None
@@ -189,6 +194,7 @@ def training_loop(
         batch_size=batch_size,
         ema_kimg=ema_kimg,
         ema_rampup=ema_rampup,
+        num_accumulation=accumulate_gradients,
     )
 
     state = TrainState(

@@ -1,11 +1,14 @@
 """Jitted G/D train steps.
 
 The reference runs two phases per batch ([D, G], training_loop.py:622-628),
-each: forward -> backward -> manual grad all-reduce -> Adam -> (G) EMA. Here
-each phase is ONE jitted function over the mesh: batch sharded on the data
-axis, params replicated, gradient mean implicit (XLA inserts the psum), EMA
-fused into the same step. The adaptive VF weight reuses the single vjp of
-the G term vector (see train/loss.py docstring).
+each: per-microbatch forward/backward accumulation -> manual grad all-reduce
+-> Adam -> (G) EMA. Here each phase is ONE jitted function over the mesh:
+batch sharded on the data axis, params replicated, gradient mean implicit
+(XLA inserts the psum), EMA fused into the same step. Gradient accumulation
+unrolls the microbatch loop inside the jit (grads summed, matching
+accumulate_gradients' backward-accumulation semantics, training_loop.py:719-726).
+The adaptive VF weight reuses the single vjp of the G term vector (see
+train/loss.py docstring).
 """
 
 from __future__ import annotations
@@ -17,7 +20,9 @@ import flax.struct
 import flax.traverse_util as tu
 import jax
 import jax.numpy as jnp
+import optax
 
+from ..core import stats as tstats
 from .loss import G_TERMS, G_TRACKED, LossState, TotalLoss, init_loss_state
 from .optim import clean_grads, ema_update
 
@@ -32,7 +37,7 @@ class TrainState:
     g_opt: Any
     d_opt: Any
     loss_state: LossState
-    cur_nimg: jnp.ndarray  # scalar int64-ish float32 is fine
+    cur_nimg: jnp.ndarray  # scalar
 
 
 def _get_leaf(tree, path: Tuple[str, ...]):
@@ -40,6 +45,36 @@ def _get_leaf(tree, path: Tuple[str, ...]):
     for k in path:
         node = node[k]
     return node
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _microbatches(x, n):
+    if x is None:
+        return [None] * n
+    B = x.shape[0]
+    assert B % n == 0, (B, n)
+    m = B // n
+    return [x[i * m : (i + 1) * m] for i in range(n)]
+
+
+G_STAT_NAMES = {
+    "l1_pixel_loss": "Loss/G/l1_pixel_loss",
+    "l2_pixel_loss": "Loss/G/l2_pixel_loss",
+    "perceptual_loss": "Loss/G/perceptual_loss",
+    "ssim_loss": "Loss/G/ssim_loss",
+    "multiscale_pixel_loss": "Loss/G/multiscale_pixel_loss",
+    "stylegan_t_gen_loss": "Loss/G/stylegan_t/loss",
+    "patchgan_gen_loss": "Loss/G/patchgan/loss",
+    "feature_matching_loss": "Loss/G/patchgan/feature_matching_loss",
+    "clip_loss": "Loss/G/clip_loss",
+    "vf_loss": "Loss/G/vf_loss",
+    "kl_loss": "Loss/G/kl_loss",
+    "vq_loss": "Loss/G/vq_loss",
+    "entropy_loss": "Loss/G/entropy_loss",
+}
 
 
 class Trainer:
@@ -56,6 +91,7 @@ class Trainer:
         batch_size: int = 512,
         ema_kimg: float = 160.0,
         ema_rampup: Optional[float] = 0.05,
+        num_accumulation: int = 1,
     ):
         self.loss = loss
         self.g_tx = g_tx
@@ -66,63 +102,76 @@ class Trainer:
         self.batch_size = batch_size
         self.ema_kimg = ema_kimg
         self.ema_rampup = ema_rampup
+        self.num_accumulation = num_accumulation
 
     # -------------------------------------------------------------- D step
 
     def d_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
-        rngs = dict(
-            zip(
-                ["sample", "d_gen", "d_real", "shuffle", "d_gen_s", "d_real_s"],
-                jax.random.split(rng, 6),
+        n_acc = self.num_accumulation
+        imgs = _microbatches(real_img, n_acc)
+        cs = _microbatches(real_c, n_acc)
+        sub_rngs = jax.random.split(rng, n_acc)
+
+        grads_sum = None
+        d_bufs = state.d_bufs
+        stats_all: Dict[str, jnp.ndarray] = {}
+        total = 0.0
+        for mb in range(n_acc):
+            rngs = dict(
+                zip(
+                    ["sample", "d_gen", "d_real", "shuffle", "d_gen_s", "d_real_s"],
+                    jax.random.split(sub_rngs[mb], 6),
+                )
             )
-        )
 
-        def f(d_params):
-            return self.loss.d_loss(
-                d_params, state.g_params, state.g_bufs, state.d_bufs,
-                real_img, real_c, rngs, eq, state.cur_nimg, blur_sigma,
+            def f(d_params, img=imgs[mb], c=cs[mb], rngs=rngs, d_bufs=d_bufs):
+                return self.loss.d_loss(
+                    d_params, state.g_params, state.g_bufs, d_bufs,
+                    img, c, rngs, eq, state.cur_nimg, blur_sigma,
+                )
+
+            (d_total, aux), grads = jax.value_and_grad(f, has_aux=True)(state.d_params)
+            skip = aux["skip"]
+            grads = jax.tree_util.tree_map(
+                lambda g: g * (1.0 - skip.astype(g.dtype)), grads
             )
+            grads_sum = grads if grads_sum is None else _tree_add(grads_sum, grads)
+            d_bufs = aux["d_bufs"]
+            stats_all = tstats.merge(stats_all, aux["stats"])
+            total = total + d_total
 
-        (d_total, aux), grads = jax.value_and_grad(f, has_aux=True)(state.d_params)
-        grads = clean_grads(grads)
-        skip = aux["skip"]
-        grads = jax.tree_util.tree_map(lambda g: g * (1.0 - skip.astype(g.dtype)), grads)
-        updates, new_opt = self.d_tx.update(grads, state.d_opt, state.d_params)
-        import optax
-
+        grads_sum = clean_grads(grads_sum)
+        updates, new_opt = self.d_tx.update(grads_sum, state.d_opt, state.d_params)
         new_d_params = optax.apply_updates(state.d_params, updates)
-        new_state = state.replace(
-            d_params=new_d_params, d_opt=new_opt, d_bufs=aux["d_bufs"]
-        )
-        return new_state, aux["stats"], d_total
+        new_state = state.replace(d_params=new_d_params, d_opt=new_opt, d_bufs=d_bufs)
+        return new_state, stats_all, total / n_acc
 
     # -------------------------------------------------------------- G step
 
-    def g_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
-        import optax
+    def _g_microbatch(self, g_params, state, real_img, real_c, rng, eq, blur_sigma,
+                      g_bufs, d_bufs, loss_state):
+        rngs = dict(
+            zip(["sample", "d_gen", "d_real", "clip_crop"], jax.random.split(rng, 4))
+        )
 
-        rngs = dict(zip(["sample", "d_gen", "d_real"], jax.random.split(rng, 3)))
-
-        def f(g_params):
+        def f(gp):
             return self.loss.g_terms(
-                g_params, state.d_params, state.g_bufs, state.d_bufs,
+                gp, state.d_params, g_bufs, d_bufs,
                 self.lpips_params, real_img, real_c, rngs, eq,
                 state.cur_nimg, blur_sigma,
             )
 
-        (terms, vjp_fn, aux) = jax.vjp(f, state.g_params, has_aux=True)
+        (terms, vjp_fn, aux) = jax.vjp(f, g_params, has_aux=True)
         skip, safe_marks, new_loss_state = self.loss.g_safe(
-            terms, state.loss_state, state.cur_nimg
+            terms, loss_state, state.cur_nimg
         )
 
         # Adaptive VF weight: ||grad_anchor(rec)|| / ||grad_anchor(vf)||
         # via two extra cotangent pulls of the same vjp (loss.py:262-271).
         if self.loss.use_adaptive_vf_loss and self.loss.vf_loss_weight > 0:
             assert self.vf_anchor_path is not None
-            rec_cot = tuple(self.loss.rec_weights())
-            vf_cot = tuple(self.loss.vf_cotangent())
-            g_rec = vjp_fn(rec_cot)[0]
-            g_vf = vjp_fn(vf_cot)[0]
+            g_rec = vjp_fn(tuple(self.loss.rec_weights()))[0]
+            g_vf = vjp_fn(tuple(self.loss.vf_cotangent()))[0]
             anchor_rec = _get_leaf(g_rec, self.vf_anchor_path)
             anchor_vf = _get_leaf(g_vf, self.vf_anchor_path)
             cur_vf_w = jnp.linalg.norm(anchor_rec) / (jnp.linalg.norm(anchor_vf) + 1e-4)
@@ -136,60 +185,61 @@ class Trainer:
         gate = 1.0 - skip.astype(jnp.float32)
         cot = tuple(weights[i] * gate for i in range(len(G_TERMS)))
         grads = vjp_fn(cot)[0]
-        grads = clean_grads(grads)
 
-        updates, new_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
+        stats = dict(aux["stats"])
+        tstats.report(stats, "Loss/G/skipped", skip.astype(jnp.float32))
+        for i, name in enumerate(G_TRACKED):
+            tstats.report(stats, f"Loss/G/is_safe/{name}", safe_marks[i].astype(jnp.float32))
+        for i, name in enumerate(G_TERMS):
+            tstats.report(stats, G_STAT_NAMES[name], terms[i])
+        tstats.report(stats, "Loss/G/cur_vf_loss_weight", cur_vf_w)
+
+        total = jnp.sum(weights * jnp.stack(terms))
+        return grads, aux["g_bufs"], aux["d_bufs"], new_loss_state, stats, total
+
+    def g_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
+        n_acc = self.num_accumulation
+        imgs = _microbatches(real_img, n_acc)
+        cs = _microbatches(real_c, n_acc)
+        sub_rngs = jax.random.split(rng, n_acc)
+
+        grads_sum = None
+        g_bufs, d_bufs, loss_state = state.g_bufs, state.d_bufs, state.loss_state
+        stats_all: Dict[str, jnp.ndarray] = {}
+        total = 0.0
+        for mb in range(n_acc):
+            grads, g_bufs, d_bufs, loss_state, stats, t = self._g_microbatch(
+                state.g_params, state, imgs[mb], cs[mb], sub_rngs[mb], eq,
+                blur_sigma, g_bufs, d_bufs, loss_state,
+            )
+            grads_sum = grads if grads_sum is None else _tree_add(grads_sum, grads)
+            stats_all = tstats.merge(stats_all, stats)
+            total = total + t
+
+        grads_sum = clean_grads(grads_sum)
+        updates, new_opt = self.g_tx.update(grads_sum, state.g_opt, state.g_params)
         new_g_params = optax.apply_updates(state.g_params, updates)
 
-        from .optim import ema_beta
-
-        # cur_nimg is traced; use the host-side schedule via a traced beta.
+        # EMA (training_loop.py:734-742) with optional ramp-up.
         ema_nimg = self.ema_kimg * 1000.0
         if self.ema_rampup is not None:
             ema_nimg = jnp.minimum(ema_nimg, state.cur_nimg * self.ema_rampup)
         beta = 0.5 ** (self.batch_size / jnp.maximum(ema_nimg, 1e-8))
         if self.g_trainable_mask is not None:
-            mask = self.g_trainable_mask
             new_ema = jax.tree_util.tree_map(
                 lambda e, p, m: e * beta + p * (1.0 - beta) if m else p,
-                state.ema_params, new_g_params, mask,
+                state.ema_params, new_g_params, self.g_trainable_mask,
             )
         else:
             new_ema = ema_update(state.ema_params, new_g_params, beta)
 
-        stats = dict(aux["stats"])
-        from ..core import stats as tstats
-
-        tstats.report(stats, "Loss/G/skipped", skip.astype(jnp.float32))
-        for i, name in enumerate(G_TRACKED):
-            tstats.report(stats, f"Loss/G/is_safe/{name}", safe_marks[i].astype(jnp.float32))
-        name_to_stat = {
-            "l1_pixel_loss": "Loss/G/l1_pixel_loss",
-            "l2_pixel_loss": "Loss/G/l2_pixel_loss",
-            "perceptual_loss": "Loss/G/perceptual_loss",
-            "ssim_loss": "Loss/G/ssim_loss",
-            "multiscale_pixel_loss": "Loss/G/multiscale_pixel_loss",
-            "stylegan_t_gen_loss": "Loss/G/stylegan_t/loss",
-            "patchgan_gen_loss": "Loss/G/patchgan/loss",
-            "feature_matching_loss": "Loss/G/patchgan/feature_matching_loss",
-            "clip_loss": "Loss/G/clip_loss",
-            "vf_loss": "Loss/G/vf_loss",
-            "kl_loss": "Loss/G/kl_loss",
-            "vq_loss": "Loss/G/vq_loss",
-            "entropy_loss": "Loss/G/entropy_loss",
-        }
-        for i, name in enumerate(G_TERMS):
-            tstats.report(stats, name_to_stat[name], terms[i])
-        tstats.report(stats, "Loss/G/cur_vf_loss_weight", cur_vf_w)
-
-        total = jnp.sum(weights * jnp.stack(terms))
         new_state = state.replace(
             g_params=new_g_params,
             g_opt=new_opt,
-            g_bufs=aux["g_bufs"],
-            d_bufs=aux["d_bufs"],
+            g_bufs=g_bufs,
+            d_bufs=d_bufs,
             ema_params=new_ema,
-            loss_state=new_loss_state,
+            loss_state=loss_state,
             cur_nimg=state.cur_nimg + real_img.shape[0],
         )
-        return new_state, stats, total
+        return new_state, stats_all, total / n_acc
