@@ -102,3 +102,19 @@ def test_inception_features_shapes():
     keys = tu.flatten_dict(variables["params"], sep="/")
     assert "Mixed_7c/branch_pool/conv" in keys
     assert "Conv2d_1a_3x3/conv" in keys
+
+
+def test_inception_score_uniform_is_one():
+    from vfm_vae_tpu.metrics.metric_main import calc_metric
+
+    probs = np.full((100, 10), 0.1, np.float32)
+    r = calc_metric("inception_score", probs=probs, num_splits=2)
+    np.testing.assert_allclose(r["results"]["is_mean"], 1.0, rtol=1e-5)
+
+
+def test_clip_score_metric():
+    from vfm_vae_tpu.metrics.metric_main import calc_metric
+
+    f = np.eye(4, 8, dtype=np.float32)
+    r = calc_metric("clip_score", image_features=f, text_features=f)
+    np.testing.assert_allclose(r["results"]["clip_score"], 1.0)

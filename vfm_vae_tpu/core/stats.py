@@ -99,3 +99,21 @@ class Collector:
 
     def reset(self) -> None:
         self._moments.clear()
+
+
+def sync_across_processes(stats: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Cross-host moment reduction (reference: training_stats.py:234 _sync —
+    one stacked all-reduce of [names, 3] per tick). Under single-program
+    jit the in-step psum already yields global values; this covers host-side
+    accumulations in true multi-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return stats
+    from jax.experimental import multihost_utils
+
+    names = sorted(stats.keys())
+    stacked = np.stack([np.asarray(stats[n], np.float64) for n in names])
+    gathered = multihost_utils.process_allgather(stacked.astype(np.float32))
+    total = np.asarray(gathered, np.float64).sum(axis=0)
+    return {n: total[i] for i, n in enumerate(names)}

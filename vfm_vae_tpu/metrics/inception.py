@@ -158,10 +158,12 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3Features(nn.Module):
-    """Images in [0,1] -> 2048-d pool3 features."""
+    """Images in [0,1] -> 2048-d pool3 features (and optionally the 1008-way
+    logits head for Inception Score)."""
 
     resize_input: bool = True
     normalize_input: bool = True
+    return_logits: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -187,7 +189,12 @@ class InceptionV3Features(nn.Module):
         x = InceptionD(768, name="Mixed_7a")(x)
         x = InceptionE(1280, name="Mixed_7b")(x)
         x = InceptionE(2048, use_max_pool=True, name="Mixed_7c")(x)
-        return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+        feats = jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+        if not self.return_logits:
+            return feats
+        w = self.param("fc_weight", nn.initializers.lecun_normal(), (2048, 1008))
+        b = self.param("fc_bias", nn.initializers.zeros, (1008,))
+        return feats, feats @ w.astype(feats.dtype) + b.astype(feats.dtype)
 
 
 def load_inception_params(path: str):
@@ -220,6 +227,9 @@ def load_inception_params(path: str):
             "bn_var": sd[mod + ".bn.running_var"].copy(),
         }
         seen.add(mod)
+    if "fc.weight" in sd:
+        params["fc_weight"] = np.ascontiguousarray(sd["fc.weight"].T)
+        params["fc_bias"] = sd["fc.bias"].copy()
     return params, buffers
 
 

@@ -75,3 +75,29 @@ def recon_suite(pairs=None, lpips_module=None, lpips_params=None, **_):
     from .recon import evaluate_pairs
 
     return evaluate_pairs(pairs, lpips_module, lpips_params)
+
+
+@register_metric
+def inception_score(probs=None, num_splits: int = 10, **_):
+    """IS = exp(E KL(p(y|x) || p(y))) over splits; `probs` (N, classes) from
+    the InceptionV3 logits head (rIS protocol, README tables)."""
+    import numpy as np
+
+    probs = np.asarray(probs)
+    scores = []
+    n = probs.shape[0]
+    for i in range(num_splits):
+        part = probs[i * n // num_splits : (i + 1) * n // num_splits]
+        kl = part * (np.log(part + 1e-10) - np.log(part.mean(axis=0, keepdims=True) + 1e-10))
+        scores.append(float(np.exp(kl.sum(axis=1).mean())))
+    return {"is_mean": float(np.mean(scores)), "is_std": float(np.std(scores))}
+
+
+@register_metric
+def clip_score(image_features=None, text_features=None, **_):
+    """Mean cosine similarity of (already L2-normalized) CLIP features
+    (reference: metrics/clip_score.py:20-47, cs10k)."""
+    import numpy as np
+
+    sim = np.sum(np.asarray(image_features) * np.asarray(text_features), axis=-1)
+    return {"clip_score": float(sim.mean())}
