@@ -90,6 +90,7 @@ class Generator(nn.Module):
     legacy: bool = False
     synthesis_kwargs: Dict[str, Any] = None
     compute_dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize ViT + ConvNeXt blocks (training memory)
 
     # ------------------------------------------------------------ derived
 
@@ -173,6 +174,7 @@ class Generator(nn.Module):
             add_additional_convnext=self.add_additional_convnext,
             legacy=self.legacy,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name=name,
         )
 
@@ -184,6 +186,7 @@ class Generator(nn.Module):
             conditional=self.conditional,
             label_type=self.label_type,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="vfm_encoder",
         )
         patch_res = int(self.img_resolution * self.scale_factor // self.vfm_encoder.patch_size)

@@ -230,6 +230,7 @@ class SynthesisBlock(nn.Module):
     add_additional_convnext: bool = False
     legacy: bool = False
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     @property
     def num_conv(self) -> int:
@@ -275,6 +276,7 @@ class SynthesisBlock(nn.Module):
             )(next_w())
         x = x.astype(dtype)
 
+        ConvNeXtLayer = nn.remat(ConvNeXtSynthesisLayer) if self.remat else ConvNeXtSynthesisLayer
         if self.use_convnext:
             if self.in_channels != 0:
                 x = SeparableUpsampleWithFixedBlur(
@@ -283,7 +285,7 @@ class SynthesisBlock(nn.Module):
                     use_gaussian_blur=self.use_gaussian_blur,
                     blur_kernel=blur_kernel, name="seperate_upsample_conv",
                 )(x)
-                x = ConvNeXtSynthesisLayer(
+                x = ConvNeXtLayer(
                     self.out_channels, self.w_dim, kernel_size,
                     block_index=self.block_index, legacy=self.legacy, name="conv0",
                 )(x, next_w())
@@ -291,7 +293,7 @@ class SynthesisBlock(nn.Module):
                 3 if (self.block_index <= 3 and self.add_additional_convnext) else 2
             ) * self.num_res_blocks
             for i in range(n_layers):
-                x = ConvNeXtSynthesisLayer(
+                x = ConvNeXtLayer(
                     self.out_channels, self.w_dim, kernel_size,
                     block_index=self.block_index, legacy=self.legacy, name=f"convs1_{i}",
                 )(x, next_w())
@@ -545,6 +547,7 @@ class SynthesisNetwork(nn.Module):
     legacy: bool = False
     architecture: str = "skip"
     compute_dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint each ConvNeXt layer
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -635,6 +638,7 @@ class SynthesisNetwork(nn.Module):
             add_additional_convnext=self.add_additional_convnext,
             legacy=self.legacy,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name=f"b{cfg['block_index']}",
         )
 

@@ -144,6 +144,7 @@ class VFMEncoder(nn.Module):
     conditional: bool = False
     label_type: str = "cls2text"
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     @property
     def family(self) -> str:
@@ -178,7 +179,7 @@ class VFMEncoder(nn.Module):
             name="tower",
         )
         if fam == "siglip":
-            self.tower = SigLIPVisionTower(**common)
+            self.tower = SigLIPVisionTower(remat=self.remat, **common)
         elif fam == "dinov2":
             from .vit import Dinov2Tower
 

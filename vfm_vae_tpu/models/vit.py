@@ -385,6 +385,7 @@ class SigLIPVisionTower(nn.Module):
     image_size: int = 512
     eps: float = 1e-6
     use_head: bool = True
+    remat: bool = False  # jax.checkpoint each block (memory <-> FLOPs)
 
     @nn.compact
     def __call__(
@@ -429,11 +430,12 @@ class SigLIPVisionTower(nn.Module):
         x = x + pos_use.astype(x.dtype)[None]
 
         collect_set = set(collect) if collect is not None else set(range(self.num_layers + 1))
+        Block = nn.remat(ViTBlock) if self.remat else ViTBlock
         hidden_states: Dict[int, jnp.ndarray] = {}
         if 0 in collect_set:
             hidden_states[0] = x
         for i in range(self.num_layers):
-            x = ViTBlock(
+            x = Block(
                 D, self.num_heads, self.mlp_dim, eps=self.eps, act="gelu_tanh",
                 name=f"layers_{i}",
             )(x)
