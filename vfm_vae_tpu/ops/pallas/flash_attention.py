@@ -40,6 +40,13 @@ def flash_attention(q, k, v, scale: Optional[float] = None) -> jnp.ndarray:
 
 
 def flash_eligible(q, k, mask) -> bool:
+    # Measured on v5e (B=64, T=1024, 16 heads, d=64): XLA's fused attention
+    # beats this kernel (39ms vs 61ms), so the Pallas path is opt-in via
+    # VFM_VAE_USE_PALLAS_FLASH=1 until a shape where it wins shows up.
+    import os
+
+    if os.environ.get("VFM_VAE_USE_PALLAS_FLASH") != "1":
+        return False
     if mask is not None:
         return False
     if jax.default_backend() != "tpu":
