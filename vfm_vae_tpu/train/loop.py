@@ -249,6 +249,12 @@ def training_loop(
     g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
     timer = PhaseTimer()
 
+    # Warm-up FSM (reference loss.py:381-492); flag flips recompile the
+    # steps (bounded: at most two flips per run).
+    from .warmup import WarmupFSM
+
+    warmup_fsm = WarmupFSM(loss)
+
     # ------------------------------------------------------------ loop
     print0(f"Training for {total_kimg} kimg (resume at {resume_kimg})...")
     cur_nimg = int(resume_kimg * 1000)
@@ -286,6 +292,16 @@ def training_loop(
             with timer.phase("Timing/G"):
                 state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
                 jax.block_until_ready(g_total)
+
+            if warmup_fsm.active:
+                # Host sync only while a warm-up is pending.
+                pix = g_stats.get("Loss/G/l1_pixel_loss", g_stats.get("Loss/G/l2_pixel_loss"))
+                dgan = g_stats.get("Loss/G/stylegan_t/loss")
+                pix_v = float(pix[1] / max(pix[0], 1)) if pix is not None else 0.0
+                d_v = float(dgan[1] / max(dgan[0], 1)) if dgan is not None else 0.0
+                if warmup_fsm.update(pix_v, d_v, cur_nimg / 1000):
+                    d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
+                    g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
             step_count += 1
             cur_nimg += images.shape[0]
 
