@@ -24,7 +24,7 @@ def main():
 
     fn, (variables, _) = entry()
 
-    batch = 64
+    batch = 128
     img = jnp.asarray(
         np.random.default_rng(0).random((batch, 256, 256, 3)), jnp.float32
     )

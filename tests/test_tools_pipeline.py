@@ -1,0 +1,87 @@
+"""Tools-level contracts: safetensors latent shard format, the DiT trainer's
+shard reader, label json emission, and snapshot import/export structure."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+safetensors = pytest.importorskip("safetensors.numpy")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_latent_shards(d, n=40, c=8, hw=4, moments=False):
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(0)
+    ch = 2 * c if moments else c
+    lat = rng.standard_normal((n, ch, hw, hw)).astype(np.float32)
+    if moments:
+        lat[:, c:] = np.abs(lat[:, c:])  # std half positive
+    save_file(
+        {
+            "latents": lat,
+            "latents_flip": lat[:, :, :, ::-1].copy(),
+            "labels": rng.integers(0, 10, n).astype(np.int64),
+        },
+        os.path.join(d, "latents_rank00_shard000.safetensors"),
+    )
+    mean = lat.mean(axis=(0, 2, 3), keepdims=True)
+    std = lat.std(axis=(0, 2, 3), keepdims=True)
+    np.savez(os.path.join(d, "latents_stats.npz"), mean=mean, std=std)
+
+
+def test_latent_batches_reader(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools", "preprocess_for_lightningdit"))
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    make_latent_shards(str(tmp_path))
+    it = train_mod.latent_batches(str(tmp_path), 8, np.random.default_rng(0))
+    x, y = next(it)
+    assert x.shape == (8, 4, 4, 8)  # NHWC
+    assert y.shape == (8,)
+    # infinite stream
+    for _ in range(10):
+        x, y = next(it)
+    assert np.isfinite(x).all()
+
+
+def test_moment_batches_reader(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools", "preprocess_for_reg"))
+    import importlib
+
+    reg_train = importlib.import_module("train") if "train" in sys.modules else None
+    # import by path to avoid name collision with the lightningdit train module
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reg_train", os.path.join(REPO, "tools", "preprocess_for_reg", "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    make_latent_shards(str(tmp_path), moments=True)
+    it = mod.moment_batches(str(tmp_path), 8, np.random.default_rng(0))
+    x, y = next(it)
+    assert x.shape == (8, 4, 4, 16)  # mean || std channels-last
+
+
+def test_decode_labels_tool(tmp_path):
+    make_latent_shards(str(tmp_path))
+    out = tmp_path / "labels.json"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "decode", "decode_latents_to_labels.py"),
+            "--latents", str(tmp_path), "--out", str(out),
+        ],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    mapping = json.loads(out.read_text())
+    assert len(mapping) == 40
+    assert "00_00000000.png" in mapping
