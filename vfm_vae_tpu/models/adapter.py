@@ -94,7 +94,7 @@ class GeGluMlp(nn.Module):
         b = Linear(self.in_features, self.hidden_features,
                    kernel_init=trunc_normal_init(0.02), bias_init=nn.initializers.zeros,
                    name="w1")(x)
-        h = jax.nn.gelu(a.astype(jnp.float32), approximate=True).astype(a.dtype) * b
+        h = jax.nn.gelu(a, approximate=True) * b
         return Linear(self.hidden_features, self.in_features,
                       kernel_init=trunc_normal_init(0.02), bias_init=nn.initializers.zeros,
                       name="w2")(h)

@@ -73,7 +73,7 @@ class ConvNeXtSynthesisLayer(nn.Module):
 
         x = GroupNorm32(min(32, C // 4), C, name="norm")(x)
         x = ModulatedPointwiseConv2DLayer(C, 4 * C, self.demodulate, name="pwconv1")(x, style)
-        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+        x = jax.nn.gelu(x, approximate=False)
         x = Conv2d(
             4 * C, C, 1,
             kernel_init=trunc_normal_init(0.02),
@@ -156,22 +156,27 @@ class SeparableUpsampleWithFixedBlur(nn.Module):
             if isinstance(taps, str):
                 taps = GAUSSIAN_KERNELS[taps]
             k1 = np.asarray(taps, np.float32)
-            k2 = np.outer(k1, k1)
             if self.blur_normalize:
-                k2 = k2 / k2.sum()
-            kh, kw = k2.shape
-            pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
-            extra_h, extra_w = int(kh % 2 == 0), int(kw % 2 == 0)
+                k1 = k1 / k1.sum()  # separable: outer-product norm = per-axis norm
+            k = k1.shape[0]
+            pad = (k - 1) // 2
+            extra = int(k % 2 == 0)
             x = jnp.pad(
                 x,
-                ((0, 0), (pad_h, pad_h + extra_h), (pad_w, pad_w + extra_w), (0, 0)),
+                ((0, 0), (pad, pad + extra), (pad, pad + extra), (0, 0)),
                 mode=self.pad_mode,
             )
-            kernel = jnp.asarray(k2, x.dtype)[:, :, None, None]
-            kernel = jnp.tile(kernel, (1, 1, 1, cout))
+            # Two 1-D depthwise passes (the binomial kernel is separable):
+            # 2k taps instead of k^2 on the VPU at full decoder resolution.
+            dn = ("NHWC", "HWIO", "NHWC")
+            kv = jnp.tile(jnp.asarray(k1, x.dtype)[:, None, None, None], (1, 1, 1, cout))
+            kh = jnp.tile(jnp.asarray(k1, x.dtype)[None, :, None, None], (1, 1, 1, cout))
             x = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), [(0, 0), (0, 0)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                x, kv, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
+                feature_group_count=cout,
+            )
+            x = jax.lax.conv_general_dilated(
+                x, kh, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
                 feature_group_count=cout,
             )
         return x

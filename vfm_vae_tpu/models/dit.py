@@ -102,9 +102,7 @@ class SwiGLU(nn.Module):
     def __call__(self, x):
         a = Linear(self.dim, self.hidden, use_bias=False, name="w1")(x)
         b = Linear(self.dim, self.hidden, use_bias=False, name="w2")(x)
-        return Linear(self.hidden, self.dim, use_bias=False, name="w3")(
-            jax.nn.silu(a.astype(jnp.float32)).astype(a.dtype) * b
-        )
+        return Linear(self.hidden, self.dim, use_bias=False, name="w3")(jax.nn.silu(a) * b)
 
 
 class GELUMLP(nn.Module):
@@ -114,7 +112,7 @@ class GELUMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = Linear(self.dim, self.hidden, name="fc1")(x)
-        x = jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype)
+        x = jax.nn.gelu(x, approximate=True)
         return Linear(self.hidden, self.dim, name="fc2")(x)
 
 

@@ -86,7 +86,7 @@ class EvaSwiGLU(nn.Module):
     def __call__(self, x):
         a = Linear(self.dim, self.hidden, name="w1")(x)
         b = Linear(self.dim, self.hidden, name="w2")(x)
-        h = jax.nn.silu(a.astype(jnp.float32)).astype(a.dtype) * b
+        h = jax.nn.silu(a) * b
         h = LayerNormFp32(self.hidden, eps=1e-6, name="norm")(h)  # sub-LN
         return Linear(self.hidden, self.dim, name="w3")(h)
 

@@ -117,7 +117,7 @@ class FeedForwardChannelFirst(nn.Module):
         hidden = int(self.dim * self.mult)
         x = ChannelRMSNorm(self.dim, name="norm")(x)
         x = Conv2d(self.dim, hidden, 1, name="proj1")(x)
-        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+        x = jax.nn.gelu(x, approximate=False)
         x = Conv2d(hidden, self.dim, 1, kernel_init=nn.initializers.zeros, name="proj2")(x)
         return x
 

@@ -107,9 +107,7 @@ class QwenVisionBlock(nn.Module):
         y = QwenRMSNorm(self.dim, name="norm2")(x)
         gate = Linear(self.dim, self.mlp_dim, name="gate_proj")(y)
         up = Linear(self.dim, self.mlp_dim, name="up_proj")(y)
-        y = Linear(self.mlp_dim, self.dim, name="down_proj")(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-        )
+        y = Linear(self.mlp_dim, self.dim, name="down_proj")(jax.nn.silu(gate) * up)
         return x + y
 
 
@@ -182,7 +180,7 @@ class QwenVisionTower(nn.Module):
         y = QwenRMSNorm(D, name="merger_ln_q")(x)
         y = y.reshape(B, N // unit, unit * D)
         y = Linear(unit * D, unit * D, name="merger_fc1")(y)
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
+        y = jax.nn.gelu(y, approximate=False)
         y = Linear(unit * D, self.out_hidden_size, name="merger_fc2")(y)
         y = y[:, jnp.asarray(np.argsort(win_idx))]
         pooled = jnp.mean(y, axis=1)

@@ -82,7 +82,7 @@ class ViTMLP(nn.Module):
         from ..ops.bias_act import apply_activation
 
         x = Linear(self.dim, self.hidden_dim, name="fc1")(x)
-        x = apply_activation(x.astype(jnp.float32), self.act).astype(x.dtype)
+        x = apply_activation(x, self.act)
         return Linear(self.hidden_dim, self.dim, name="fc2")(x)
 
 

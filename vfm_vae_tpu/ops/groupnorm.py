@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -20,31 +21,47 @@ def group_norm(
     bias: Optional[jnp.ndarray] = None,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """torch F.group_norm on NHWC input (normalizes per (group, H, W))."""
+    """torch F.group_norm on NHWC input (normalizes per (group, H, W)).
+
+    Statistics accumulate in fp32 (the GroupNorm32 island); the elementwise
+    normalization stays in the input dtype — under bf16 this keeps the big
+    spatial tensors out of fp32 HBM traffic (the reference's fp32 cast was
+    an fp16-range workaround, unnecessary with bf16's fp32 exponent range).
+    fp32 inputs take the bit-exact reference path."""
     orig_dtype = x.dtype
     B, H, W, C = x.shape
     assert C % num_groups == 0, (C, num_groups)
-    xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    xg = x.reshape(B, H, W, num_groups, C // num_groups)
+    xf = xg.astype(jnp.float32)
     mean = xf.mean(axis=(1, 2, 4), keepdims=True)
     var = jnp.square(xf - mean).mean(axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mean) / jnp.sqrt(var + eps)
-    xf = xf.reshape(B, H, W, C)
+    if orig_dtype == jnp.float32:
+        y = (xf - mean) / jnp.sqrt(var + eps)
+    else:
+        inv = jax.lax.rsqrt(var + eps)
+        y = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
+    y = y.reshape(B, H, W, C)
     if weight is not None:
-        xf = xf * weight.astype(jnp.float32)
+        y = y * weight.astype(y.dtype)
     if bias is not None:
-        xf = xf + bias.astype(jnp.float32)
-    return xf.astype(orig_dtype)
+        y = y + bias.astype(y.dtype)
+    return y.astype(orig_dtype)
 
 
 def layer_norm(x: jnp.ndarray, weight=None, bias=None, eps: float = 1e-6) -> jnp.ndarray:
-    """torch LayerNorm over the last axis, fp32 compute."""
+    """torch LayerNorm over the last axis: fp32 statistics, elementwise in
+    the input dtype (bit-exact reference path for fp32 inputs)."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
     var = jnp.square(xf - mean).mean(axis=-1, keepdims=True)
-    xf = (xf - mean) / jnp.sqrt(var + eps)
+    if orig_dtype == jnp.float32:
+        y = (xf - mean) / jnp.sqrt(var + eps)
+    else:
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
     if weight is not None:
-        xf = xf * weight.astype(jnp.float32)
+        y = y * weight.astype(y.dtype)
     if bias is not None:
-        xf = xf + bias.astype(jnp.float32)
-    return xf.astype(orig_dtype)
+        y = y + bias.astype(y.dtype)
+    return y.astype(orig_dtype)
