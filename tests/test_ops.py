@@ -254,3 +254,22 @@ def test_fma():
 
     a, b, c = (jnp.asarray(rand_nhwc(1, 2, 2, 3)) for _ in range(3))
     np.testing.assert_allclose(np.asarray(fma(a, b, c)), np.asarray(a * b + c))
+
+
+def test_pallas_dwconv_interpret_matches_lax():
+    """Pallas depthwise kernel numerics (interpret mode; TPU perf opt-in)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfm_vae_tpu.ops.pallas.dwconv import depthwise_conv2d_same
+
+    x = jnp.asarray(rand_nhwc(2, 16, 16, 128))
+    w = jnp.asarray(RNG.standard_normal((5, 5, 1, 128)).astype(np.float32))
+    b = jnp.asarray(RNG.standard_normal(128).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=128,
+    ) + b
+    with pltpu.force_tpu_interpret_mode():
+        y = depthwise_conv2d_same(x, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
