@@ -1,9 +1,11 @@
 """WebDataset-style tar-shard streaming input pipeline.
 
 Re-implements the reference's data plane (training/data_wds.py) without the
-webdataset dependency: plain tarfile parsing + a thread pool feeding a
-bounded queue (the reference uses 3 DataLoader worker *processes*; on TPU
-hosts threads suffice because PIL decode releases the GIL).
+webdataset dependency: plain tarfile parsing + spawned worker PROCESSES
+feeding a bounded queue (decode+augment is GIL-bound: measured flat ~190
+img/s across any thread count, ~2.6ms/image single-core; matches the
+reference's DataLoader worker-process design). Thread workers remain for
+tiny/in-test datasets via worker_type='thread'.
 
 Preserved contracts:
   * augmentation: random square crop ratio U(0.5, 1) -> LANCZOS resize ->
@@ -208,6 +210,37 @@ def _decode_sample(
 # ------------------------------------------------------------------ loader
 
 
+def _process_worker_main(shards, out_q, decode_kwargs, tracker_dir, tracker_rank,
+                         seed, resample):
+    """Worker-process body (the reference uses DataLoader worker PROCESSES,
+    data_wds.py:345-350 — threads serialize on the GIL for decode+augment:
+    measured flat ~190 img/s regardless of thread count)."""
+    tracker = ShardTracker(tracker_dir, rank=tracker_rank) if tracker_dir else None
+    rng = random.Random(seed)
+    try:
+        while True:
+            order = list(shards)
+            rng.shuffle(order)
+            for url in order:
+                try:
+                    for raw in iter_tar_samples(url):
+                        try:
+                            item = _decode_sample(raw, rng=rng, **decode_kwargs)
+                        except Exception as exn:
+                            logging.warning(f"wds decode error ({exn!r}). Ignoring.")
+                            continue
+                        if item is not None:
+                            out_q.put(item)
+                    if tracker is not None:
+                        tracker.record(url)
+                except Exception as exn:
+                    logging.warning(f"wds shard error ({exn!r}) for {url}. Ignoring.")
+            if not resample:
+                break
+    finally:
+        out_q.put(None)
+
+
 class _ShardWorker(threading.Thread):
     def __init__(self, shards, out_q, stop_event, decode_kwargs, tracker, seed, resample):
         super().__init__(daemon=True)
@@ -266,6 +299,7 @@ def wds_dataloader(
     num_processes: int = 1,
     process_index: Optional[int] = None,
     queue_size: int = 4096,
+    worker_type: str = "process",  # 'process' (GIL-free) | 'thread'
 ) -> Iterator[Tuple[np.ndarray, list]]:
     """Yields (images (B,H,W,3) uint8, labels list/array) batches forever
     (resampled mode) or until shards are exhausted (one-epoch mode)."""
@@ -312,16 +346,39 @@ def wds_dataloader(
         keep_set=keep_set,
     )
 
-    out_q: queue.Queue = queue.Queue(maxsize=queue_size)
-    stop = threading.Event()
-    threads = []
-    for w in range(n_workers):
-        t = _ShardWorker(
-            node_shards[w::n_workers], out_q, stop, decode_kwargs, tracker,
-            seed=base_seed + rank * 1000 + w, resample=not one_epoch,
-        )
-        t.start()
-        threads.append(t)
+    use_processes = worker_type == "process" and workers > 0
+    if use_processes:
+        import multiprocessing as mp
+
+        # spawn, not fork: forking a process that already initialized jax/XLA
+        # risks deadlocks on inherited mutexes; workers never import jax.
+        ctx = mp.get_context("spawn")
+        out_q = ctx.Queue(maxsize=queue_size)
+        stop = threading.Event()  # only used by the consumer teardown
+        procs = []
+        for w in range(n_workers):
+            p = ctx.Process(
+                target=_process_worker_main,
+                args=(
+                    node_shards[w::n_workers], out_q, decode_kwargs,
+                    processed_tar_write_dir if one_epoch else None, rank,
+                    base_seed + rank * 1000 + w, not one_epoch,
+                ),
+                daemon=True,
+            )
+            p.start()
+            procs.append(p)
+    else:
+        out_q = queue.Queue(maxsize=queue_size)
+        stop = threading.Event()
+        threads = []
+        for w in range(n_workers):
+            t = _ShardWorker(
+                node_shards[w::n_workers], out_q, stop, decode_kwargs, tracker,
+                seed=base_seed + rank * 1000 + w, resample=not one_epoch,
+            )
+            t.start()
+            threads.append(t)
 
     def batches():
         buf: list = []
@@ -359,11 +416,14 @@ def wds_dataloader(
                 yield images, labels
         finally:
             stop.set()
+            if use_processes:
+                for p in procs:
+                    p.terminate()
             # Unblock producers.
             try:
                 while True:
                     out_q.get_nowait()
-            except queue.Empty:
+            except (queue.Empty, Exception):
                 pass
 
     return batches()
@@ -418,7 +478,8 @@ class WdsWrapper:
         raise ValueError(self.label_type)
 
     def loader(self, batch_size: int, workers: int = 3, base_seed: int = DEFAULT_SEED,
-               num_processes: int = 1, process_index: Optional[int] = None):
+               num_processes: int = 1, process_index: Optional[int] = None,
+               worker_type: str = "process"):
         return wds_dataloader(
             self.urls,
             batch_size=batch_size,
@@ -434,6 +495,7 @@ class WdsWrapper:
             base_seed=base_seed,
             num_processes=num_processes,
             process_index=process_index,
+            worker_type=worker_type,
         )
 
     def __len__(self) -> int:

@@ -90,6 +90,7 @@ def training_loop(
     # ------------------------------------------------------------ dataset
     print0("Loading training set...")
     training_set = construct_class_by_name(**training_set_kwargs)
+    tokenizer = None
     data_iter = iter(
         training_set.loader(
             batch_size=batch_size,
@@ -113,6 +114,14 @@ def training_loop(
     dk.setdefault("c_dim", G.c_dim)
     dk.setdefault("vfm_name", G.vfm_name)
     D = d_cls(compute_dtype=dtype, **dk)
+
+    if G.conditional and G.label_type in ("text", "cls2text"):
+        from ..data.tokenize import TextTokenizer
+
+        try:
+            tokenizer = TextTokenizer(G.vfm_name)
+        except Exception as e:
+            print0(f"[warn] text conditioning requested but tokenizer failed: {e}")
 
     res = G.img_resolution
     init_img = jnp.zeros((2, res, res, 3))
@@ -269,11 +278,16 @@ def training_loop(
             images, labels = next(data_iter)
             real = jnp.asarray(images, jnp.float32) / 255.0  # NHWC [0,1]
             real = shard_batch(mesh, real)
-            real_c = (
-                shard_batch(mesh, jnp.asarray(labels))
-                if isinstance(labels, np.ndarray)
-                else None
-            )
+            if isinstance(labels, np.ndarray):
+                real_c = shard_batch(mesh, jnp.asarray(labels))
+            elif tokenizer is not None and labels and isinstance(labels[0], str):
+                tok = tokenizer(list(labels))
+                real_c = {
+                    "input_ids": shard_batch(mesh, jnp.asarray(tok["input_ids"])),
+                    "attention_mask": shard_batch(mesh, jnp.asarray(tok["attention_mask"])),
+                }
+            else:
+                real_c = None
 
             if not first_batch_saved and rank == 0:
                 save_image_grid(
