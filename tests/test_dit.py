@@ -101,3 +101,61 @@ def test_sde_sampler_runs(tiny_dit):
     )
     assert out.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dit_repa_tap_and_loss():
+    """REPA branch: feature tap after block k + projector + token-cosine
+    alignment loss produce finite loss and grads for all parts."""
+    from vfm_vae_tpu.models.dit import LightningDiT
+    from vfm_vae_tpu.models.layers import Linear
+    from vfm_vae_tpu.train.transport import flow_matching_loss
+    from flax import linen as nn
+
+    model = LightningDiT(
+        input_size=8, patch_size=1, in_channels=4, hidden_size=64,
+        depth=2, num_heads=4, num_classes=10, return_features_at=0,
+    )
+    x = jnp.zeros((2, 8, 8, 4))
+    out, tap = model.apply(
+        {"params": model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)),
+                              jnp.zeros((2,), jnp.int32))["params"]},
+        x, jnp.asarray([0.3, 0.7]), jnp.asarray([1, 2]),
+    )
+    assert out.shape == (2, 8, 8, 4) and tap.shape == (2, 64, 64)
+
+    class Proj(nn.Module):
+        @nn.compact
+        def __call__(self, h):
+            return Linear(64, 16, name="fc")(h)
+
+    proj = Proj()
+    dit_params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((2,)), jnp.zeros((2,), jnp.int32)
+    )["params"]
+    proj_params = proj.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64)))["params"]
+    params = {"dit": dit_params, "proj": proj_params}
+
+    def model_fn(p, xt, t, y, rng):
+        pred, tap = model.apply({"params": p["dit"]}, xt, t, y,
+                                train=rng is not None, rng=rng)
+        return pred, proj.apply({"params": p["proj"]}, tap)
+
+    rng = jax.random.PRNGKey(2)
+    latents = jax.random.normal(rng, (2, 8, 8, 4))
+    targets = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 16))
+    labels = jnp.asarray([4, 5])
+
+    def lf(p):
+        loss, aux = flow_matching_loss(
+            model_fn, p, latents, labels, jax.random.PRNGKey(4),
+            repa_targets=targets, repa_weight=0.5,
+        )
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(lf))(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # Projector gradient must be nonzero (alignment term reaches it).
+    pg = jax.tree_util.tree_leaves(grads["proj"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in pg)

@@ -14,7 +14,7 @@ safetensors = pytest.importorskip("safetensors.numpy")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_latent_shards(d, n=40, c=8, hw=4, moments=False):
+def make_latent_shards(d, n=40, c=8, hw=4, moments=False, vfm_features=False):
     from safetensors.numpy import save_file
 
     rng = np.random.default_rng(0)
@@ -22,14 +22,14 @@ def make_latent_shards(d, n=40, c=8, hw=4, moments=False):
     lat = rng.standard_normal((n, ch, hw, hw)).astype(np.float32)
     if moments:
         lat[:, c:] = np.abs(lat[:, c:])  # std half positive
-    save_file(
-        {
-            "latents": lat,
-            "latents_flip": lat[:, :, :, ::-1].copy(),
-            "labels": rng.integers(0, 10, n).astype(np.int64),
-        },
-        os.path.join(d, "latents_rank00_shard000.safetensors"),
-    )
+    payload = {
+        "latents": lat,
+        "latents_flip": lat[:, :, :, ::-1].copy(),
+        "labels": rng.integers(0, 10, n).astype(np.int64),
+    }
+    if vfm_features:
+        payload["vfm_features"] = rng.standard_normal((n, hw * hw, 16)).astype(np.float16)
+    save_file(payload, os.path.join(d, "latents_rank00_shard000.safetensors"))
     mean = lat.mean(axis=(0, 2, 3), keepdims=True)
     std = lat.std(axis=(0, 2, 3), keepdims=True)
     np.savez(os.path.join(d, "latents_stats.npz"), mean=mean, std=std)
@@ -66,8 +66,24 @@ def test_moment_batches_reader(tmp_path):
     spec.loader.exec_module(mod)
     make_latent_shards(str(tmp_path), moments=True)
     it = mod.moment_batches(str(tmp_path), 8, np.random.default_rng(0))
-    x, y = next(it)
+    x, y, feats = next(it)
     assert x.shape == (8, 4, 4, 16)  # mean || std channels-last
+    assert feats is None  # no vfm_features key in these shards
+
+
+def test_moment_batches_reader_repa(tmp_path):
+    """Shards carrying vfm_features yield fp32 REPA targets alongside."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reg_train2", os.path.join(REPO, "tools", "preprocess_for_reg", "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    make_latent_shards(str(tmp_path), moments=True, vfm_features=True)
+    it = mod.moment_batches(str(tmp_path), 8, np.random.default_rng(0))
+    x, y, feats = next(it)
+    assert feats.shape == (8, 16, 16) and feats.dtype == np.float32
 
 
 def test_decode_labels_tool(tmp_path):

@@ -76,6 +76,9 @@ def main(return_moments: bool = False):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--shard-size", type=int, default=10000)
     ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--store-vfm-features", action="store_true",
+                    help="also store the VFM last-layer tokens pooled to the "
+                         "latent grid (fp16) as REPA alignment targets")
     args = ap.parse_args()
 
     import jax
@@ -102,30 +105,47 @@ def main(return_moments: bool = False):
         zf = G.apply(v, img[:, :, ::-1], rng=r2, method=G.encode)
         return z, zf
 
+    @jax.jit
+    def vfm_tokens(v, img):
+        """Last-layer VFM tokens adaptively pooled to the latent grid
+        (REPA targets; token count matches the DiT sequence)."""
+        from vfm_vae_tpu.models.adapter import map_to_tokens, tokens_to_map
+        from vfm_vae_tpu.ops.resize import adaptive_avg_pool2d
+
+        feats, _ = G.apply(
+            v, img, method=lambda m, i: m.vfm_encoder.encode_image(i)
+        )
+        f = tokens_to_map(feats[-1])
+        zres = G.z_resolution
+        if f.shape[1] != zres:
+            f = adaptive_avg_pool2d(f, (zres, zres))
+        return map_to_tokens(f)
+
     os.makedirs(args.out, exist_ok=True)
     tars = sorted(glob(os.path.join(args.data, "**", "*.tar"), recursive=True))
     rank = jax.process_index()
     tars = tars[rank :: max(jax.process_count(), 1)]
 
-    lat_buf, flip_buf, label_buf = [], [], []
+    lat_buf, flip_buf, label_buf, feat_buf = [], [], [], []
     shard_idx = 0
     rng = jax.random.PRNGKey(rank)
 
     def flush():
-        nonlocal shard_idx, lat_buf, flip_buf, label_buf
+        nonlocal shard_idx, lat_buf, flip_buf, label_buf, feat_buf
         if not lat_buf:
             return
         # NCHW storage to stay byte-compatible with the torch consumers.
         latents = np.concatenate(lat_buf).transpose(0, 3, 1, 2)
         latents_flip = np.concatenate(flip_buf).transpose(0, 3, 1, 2)
         labels = np.asarray(label_buf, np.int64)
+        payload = {"latents": latents, "latents_flip": latents_flip, "labels": labels}
+        if feat_buf:
+            payload["vfm_features"] = np.concatenate(feat_buf).astype(np.float16)
         path = os.path.join(args.out, f"latents_rank{rank:02d}_shard{shard_idx:03d}.safetensors")
-        save_file(
-            {"latents": latents, "latents_flip": latents_flip, "labels": labels}, path
-        )
+        save_file(payload, path)
         print(f"wrote {path} ({latents.shape[0]} samples)")
         shard_idx += 1
-        lat_buf, flip_buf, label_buf = [], [], []
+        lat_buf, flip_buf, label_buf, feat_buf = [], [], [], []
 
     imgs, labels = [], []
     for tar in tars:
@@ -143,6 +163,8 @@ def main(return_moments: bool = False):
                 lat_buf.append(np.asarray(z, np.float32))
                 flip_buf.append(np.asarray(zf, np.float32))
                 label_buf.extend(labels)
+                if args.store_vfm_features:
+                    feat_buf.append(np.asarray(vfm_tokens(variables, x)))
                 imgs, labels = [], []
                 if sum(a.shape[0] for a in lat_buf) >= args.shard_size:
                     flush()

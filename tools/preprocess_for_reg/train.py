@@ -6,9 +6,10 @@ Differences from the LightningDiT trainer:
   * latents are stored as (mean || std) moments; each step samples the
     posterior z = mean + std * eps (reference train.py:79-81
     `sample_posterior`).
-  * optional REPA alignment: a projector from mid-block DiT features to a
-    target representation (cosine loss), enabled when --repa-features points
-    at stored target features.
+  * optional REPA alignment: a projector from mid-block DiT features to the
+    VFM token representation (token cosine loss), enabled by
+    model.repa_weight > 0 in the config; targets come from the
+    `vfm_features` key written by prefetch.py --store-vfm-features.
 
   python tools/preprocess_for_reg/train.py --config <yaml>
 """
@@ -40,6 +41,7 @@ def moment_batches(data_dir: str, batch_size: int, rng: np.random.Generator):
             mom = d["latents"]  # (N, 2C, H, W): mean || std
             flip = d.get("latents_flip")
             labels = d["labels"]
+            feats = d.get("vfm_features")  # (N, T, D) fp16 REPA targets
             idx = rng.permutation(mom.shape[0])
             for i in range(0, len(idx) - batch_size + 1, batch_size):
                 sel = idx[i : i + batch_size]
@@ -47,7 +49,10 @@ def moment_batches(data_dir: str, batch_size: int, rng: np.random.Generator):
                 if flip is not None:
                     take = rng.random(len(sel)) < 0.5
                     x = np.where(take[:, None, None, None], flip[sel], x)
-                yield x.transpose(0, 2, 3, 1), labels[sel]
+                yield (
+                    x.transpose(0, 2, 3, 1), labels[sel],
+                    feats[sel].astype(np.float32) if feats is not None else None,
+                )
 
 
 def main():
@@ -73,6 +78,9 @@ def main():
 
     in_chans = mcfg.get("in_chans", 32)
     input_size = mcfg.get("latent_size", 16)
+    repa_weight = float(mcfg.get("repa_weight", 0.0))
+    repa_block = int(mcfg.get("repa_block", 8))
+    repa_dim = int(mcfg.get("repa_target_dim", 1024))
     model = LightningDiT(
         input_size=input_size, patch_size=1, in_channels=in_chans,
         hidden_size=mcfg.get("hidden_size", 1152), depth=mcfg.get("depth", 28),
@@ -82,32 +90,64 @@ def main():
         use_swiglu=mcfg.get("use_swiglu", False),
         use_rope=mcfg.get("use_rope", False),
         use_rmsnorm=mcfg.get("use_rmsnorm", False),
+        return_features_at=repa_block if repa_weight > 0 else None,
     )
 
     batch_size = tcfg.get("global_batch_size", 256)
     rng_np = np.random.default_rng(tcfg.get("global_seed", 0))
     it = moment_batches(dcfg["data_path"], batch_size, rng_np)
 
+    from vfm_vae_tpu.models.layers import Linear as _Linear
+    from flax import linen as _nn
+
+    class _Projector(_nn.Module):
+        """REPA projector: DiT tokens -> VFM feature dim (MLP, silu)."""
+
+        out_dim: int
+
+        @_nn.compact
+        def __call__(self, x):
+            h = _Linear(x.shape[-1], 2 * self.out_dim, name="fc1")(x)
+            h = jax.nn.silu(h)
+            return _Linear(2 * self.out_dim, self.out_dim, name="fc2")(h)
+
+    projector = _Projector(repa_dim) if repa_weight > 0 else None
+
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((2, input_size, input_size, in_chans)),
         jnp.zeros((2,)), jnp.zeros((2,), jnp.int32),
     )["params"]
+    if repa_weight > 0:
+        hdim = mcfg.get("hidden_size", 1152)
+        proj_params = projector.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, input_size * input_size, hdim))
+        )["params"]
+        params = {"dit": params, "proj": proj_params}
     tx = optax.adamw(cfg.get("optimizer", {}).get("lr", 1e-4), b1=0.9, b2=0.999)
     opt = tx.init(params)
     ema = params
 
     def model_fn(p, x, t, y, rng):
+        if repa_weight > 0:
+            out, tap = model.apply(
+                {"params": p["dit"]}, x, t, y, train=rng is not None, rng=rng
+            )
+            proj = projector.apply({"params": p["proj"]}, tap)
+            return out, proj
         return model.apply({"params": p}, x, t, y, train=rng is not None, rng=rng)
 
     @jax.jit
-    def step(params, opt, ema, moments, y, rng):
+    def step(params, opt, ema, moments, y, rng, repa_targets=None):
         r_post, r_fm = jax.random.split(rng)
         mean, std = jnp.split(moments, 2, axis=-1)
         z = mean + std * jax.random.normal(r_post, mean.shape)  # sample_posterior
 
         def lf(p):
-            return flow_matching_loss(model_fn, p, z, y, r_fm, use_lognorm=False)
+            return flow_matching_loss(
+                model_fn, p, z, y, r_fm, use_lognorm=False,
+                repa_targets=repa_targets, repa_weight=repa_weight,
+            )
 
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt = tx.update(grads, opt, params)
@@ -123,11 +163,14 @@ def main():
     t0 = time.time()
     with jax.sharding.set_mesh(mesh):
         for step_idx in range(max_steps):
-            x, y = next(it)
+            x, y, feats = next(it)
+            if repa_weight > 0:
+                assert feats is not None, "repa_weight>0 needs shards with vfm_features"
             xb = shard_batch(mesh, jnp.asarray(x, jnp.float32))
             yb = shard_batch(mesh, jnp.asarray(y, jnp.int32))
+            fb = shard_batch(mesh, jnp.asarray(feats)) if (repa_weight > 0) else None
             rng, sub = jax.random.split(rng)
-            params, opt, ema, loss = step(params, opt, ema, xb, yb, sub)
+            params, opt, ema, loss = step(params, opt, ema, xb, yb, sub, fb)
             if step_idx % tcfg.get("log_every", 100) == 0:
                 print(json.dumps({"step": step_idx, "loss": float(loss),
                                   "sec": time.time() - t0}), flush=True)

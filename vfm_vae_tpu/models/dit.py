@@ -175,6 +175,9 @@ class LightningDiT(nn.Module):
     use_rope: bool = True
     use_rmsnorm: bool = True
     learn_sigma: bool = False
+    # REPA-style alignment tap: also return the token features after this
+    # block index (reference: tools/preprocess_for_reg — SiT + projector).
+    return_features_at: Optional[int] = None
 
     @property
     def grid(self) -> int:
@@ -227,12 +230,15 @@ class LightningDiT(nn.Module):
         c = t_emb + table[y].astype(t_emb.dtype)
 
         rope = rope_frequencies(D // self.num_heads, grid) if self.use_rope else None
+        tap = None
         for i in range(self.depth):
             tokens = DiTBlock(
                 D, self.num_heads, self.mlp_ratio,
                 self.use_qknorm, self.use_swiglu, self.use_rmsnorm, rope,
                 name=f"blocks_{i}",
             )(tokens, c)
+            if self.return_features_at is not None and i == self.return_features_at:
+                tap = tokens
 
         # Final adaLN + linear (zero-init), unpatchify.
         ada = Linear(
@@ -254,6 +260,8 @@ class LightningDiT(nn.Module):
             from ..ops.pixelshuffle import pixel_shuffle
 
             h = pixel_shuffle(h, p)
+        if self.return_features_at is not None:
+            return h, tap
         return h
 
 

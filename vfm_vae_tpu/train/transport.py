@@ -35,16 +35,32 @@ def flow_matching_loss(
     rng: jax.Array,
     use_lognorm: bool = True,
     use_cosine_loss: bool = True,
+    repa_targets: Optional[jnp.ndarray] = None,  # (B, T, D_vfm)
+    repa_weight: float = 0.0,
 ):
-    """Velocity-matching MSE (+ optional cosine term) on the linear path."""
+    """Velocity-matching MSE (+ optional cosine term) on the linear path.
+    With `repa_targets`, model_fn must return (pred, projected) where
+    projected is (B, T, D_vfm); the REPA token-cosine alignment term is
+    added (REG recipe: reference tools/preprocess_for_reg — SiT + REPA)."""
     r_t, r_noise, r_drop = jax.random.split(rng, 3)
     B = latents.shape[0]
     t = sample_t(r_t, B, use_lognorm)
     x0 = jax.random.normal(r_noise, latents.shape, latents.dtype)
     xt, vel = linear_interpolate(x0, latents, t)
-    pred = model_fn(params, xt, t, labels, r_drop)
+    out = model_fn(params, xt, t, labels, r_drop)
+    if repa_targets is not None:
+        pred, projected = out
+    else:
+        pred = out
     mse = jnp.mean(jnp.square(pred - vel))
     loss = mse
+    if repa_targets is not None and repa_weight > 0:
+        p = projected
+        tgt = repa_targets.astype(jnp.float32)
+        pn = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=-1), 1e-12))
+        tn = jnp.sqrt(jnp.maximum(jnp.sum(tgt * tgt, axis=-1), 1e-12))
+        cos_tok = jnp.sum(p * tgt, axis=-1) / (pn * tn + 1e-8)
+        loss = loss + repa_weight * jnp.mean(1.0 - cos_tok)
     if use_cosine_loss:
         p = pred.reshape(B, -1)
         v = vel.reshape(B, -1)
