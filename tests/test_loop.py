@@ -75,6 +75,7 @@ def make_cfg(root, vfm, data, c2t):
         ema_kimg=1.0,
         compute_dtype="float32",
         data_workers=1,
+        metrics=["recon_suite"],
     )
 
 
@@ -95,6 +96,11 @@ def test_training_loop_runs_and_snapshots(tiny_env, mesh8):
     samples = os.listdir(os.path.join(run, "train_samples"))
     assert any(s.startswith("val_gens_") for s in samples)
     assert "reals.png" in samples
+    # In-loop metric rode the snapshot cadence.
+    mfile = os.path.join(run, "metric-recon_suite.jsonl")
+    assert os.path.isfile(mfile), "metric jsonl not written"
+    m = json.loads(open(mfile).readline())
+    assert np.isfinite(m["results"]["psnr"]) and 0 <= m["results"]["ssim"] <= 1
 
 
 def test_training_loop_resumes(tiny_env, mesh8):

@@ -5,6 +5,7 @@ reference itself relies on (SURVEY.md section 4.1)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vfm_vae_tpu import ops
@@ -273,3 +274,85 @@ def test_pallas_dwconv_interpret_matches_lax():
     with pltpu.force_tpu_interpret_mode():
         y = depthwise_conv2d_same(x, w, b)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------ fused convnext mlp
+
+
+class TestFusedConvNeXtMLP:
+    def _args(self, key, B=2, H=4, W=4, C=8, dtype=jnp.float32):
+        ks = jax.random.split(jax.random.PRNGKey(key), 9)
+        Hd = 4 * C
+        x = jax.random.normal(ks[0], (B, H, W, C), dtype)
+        xi = jax.random.normal(ks[1], (B, H, W, C), dtype)
+        s = 1.0 + 0.1 * jax.random.normal(ks[2], (B, C))
+        w1 = 0.1 * jax.random.normal(ks[3], (C, Hd))
+        b1 = 0.1 * jax.random.normal(ks[4], (Hd,))
+        w2 = 0.1 * jax.random.normal(ks[5], (Hd, C))
+        b2 = 0.1 * jax.random.normal(ks[6], (C,))
+        g = 0.5 + 0.1 * jax.random.normal(ks[7], (C,))
+        from vfm_vae_tpu.models.modulated import demod_coefs
+
+        d = demod_coefs(w1[None, None], s)
+        return x, xi, s, d, w1, b1, w2, b2, g
+
+    @staticmethod
+    def _unfused(x, xi, s, d, w1, b1, w2, b2, g):
+        """The module chain the kernel replaces (modulated pw -> exact gelu
+        -> pw contract -> layer scale -> residual)."""
+        from vfm_vae_tpu.models.modulated import modulated_pointwise_conv2d
+
+        B = x.shape[0]
+        h = modulated_pointwise_conv2d(x, w1, s, b1, demodulate=True)
+        h = jax.nn.gelu(h, approximate=False)
+        y = jnp.einsum("bhwi,io->bhwo", h, w2.astype(h.dtype)) + b2.astype(h.dtype)
+        return y * g.astype(y.dtype) + xi
+
+    def test_forward_parity(self):
+        from vfm_vae_tpu.ops.pallas.fused_mlp import fused_convnext_mlp
+
+        x, xi, s, d, w1, b1, w2, b2, g = self._args(0)
+        got = fused_convnext_mlp(x, xi, s, d, w1, b1, w2, b2, g, interpret=True)
+        want = self._unfused(x, xi, s, d, w1, b1, w2, b2, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    def test_gradient_parity(self):
+        """The hand-written custom_vjp backward must match autodiff of the
+        unfused chain for every differentiable input."""
+        from vfm_vae_tpu.ops.pallas.fused_mlp import fused_convnext_mlp
+
+        x, xi, s, d, w1, b1, w2, b2, g = self._args(1)
+        probe = jax.random.normal(jax.random.PRNGKey(42), x.shape)
+
+        def loss_fused(args):
+            x, xi, s, w1, b1, w2, b2, g = args
+            from vfm_vae_tpu.models.modulated import demod_coefs
+
+            d = demod_coefs(w1[None, None], s)
+            out = fused_convnext_mlp(x, xi, s, d, w1, b1, w2, b2, g, interpret=True)
+            return jnp.sum(out * probe)
+
+        def loss_unfused(args):
+            x, xi, s, w1, b1, w2, b2, g = args
+            out = self._unfused(x, xi, s, None, w1, b1, w2, b2, g)
+            return jnp.sum(out * probe)
+
+        args = (x, xi, s, w1, b1, w2, b2, g)
+        gf = jax.grad(loss_fused)(args)
+        gu = jax.grad(loss_unfused)(args)
+        for a, b, name in zip(gf, gu, "x xi s w1 b1 w2 b2 g".split()):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_convnext_layer_param_escape(self):
+        """return_params gives the same tree and values as the compute path."""
+        from vfm_vae_tpu.models.convnext import ConvNeXtSynthesisLayer
+
+        layer = ConvNeXtSynthesisLayer(channels=8, w_dim=16, kernel_size=5)
+        x = jnp.ones((2, 4, 4, 8))
+        w = jnp.ones((2, 16))
+        v = layer.init(jax.random.PRNGKey(0), x, w)
+        out = layer.apply(v, x, w)
+        assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()

@@ -72,19 +72,40 @@ class ConvNeXtSynthesisLayer(nn.Module):
             x = x + noise.astype(x.dtype)
 
         x = GroupNorm32(min(32, C // 4), C, name="norm")(x)
-        x = ModulatedPointwiseConv2DLayer(C, 4 * C, self.demodulate, name="pwconv1")(x, style)
-        x = jax.nn.gelu(x, approximate=False)
-        x = Conv2d(
+        pw1 = ModulatedPointwiseConv2DLayer(C, 4 * C, self.demodulate, name="pwconv1")
+        pw2 = Conv2d(
             4 * C, C, 1,
             kernel_init=trunc_normal_init(0.02),
             bias_init=nn.initializers.zeros,
             name="pwconv2",
-        )(x)
+        )
+        gamma = (
+            self.param("gamma", nn.initializers.constant(self.layer_scale_init), (C,))
+            if self.layer_scale_init > 0 else None
+        )
 
-        if self.layer_scale_init > 0:
-            gamma = self.param(
-                "gamma", nn.initializers.constant(self.layer_scale_init), (C,)
-            )
+        from ..ops.pallas.fused_mlp import fused_convnext_mlp, fused_mlp_eligible
+
+        if fused_mlp_eligible(x):
+            # Fused pallas path: expand -> GELU -> contract without
+            # materializing the (B, H, W, 4C) hidden in HBM.
+            w1, b1 = pw1(None, None, return_params=True)
+            w2k, b2 = pw2(None, return_params=True)
+            if self.demodulate:
+                from .modulated import demod_coefs
+
+                d = demod_coefs(w1[None, None], style)
+            else:
+                d = jnp.ones((x.shape[0], 4 * C), jnp.float32)
+            g = gamma if gamma is not None else jnp.ones((C,), jnp.float32)
+            return fused_convnext_mlp(
+                x, x_in, style, d, w1, b1, w2k[0, 0], b2, g
+            ).astype(dtype)
+
+        x = pw1(x, style)
+        x = jax.nn.gelu(x, approximate=False)
+        x = pw2(x)
+        if gamma is not None:
             x = x * gamma.astype(x.dtype)
         return (x + x_in).astype(dtype)
 

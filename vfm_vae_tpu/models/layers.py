@@ -198,7 +198,7 @@ class Conv2d(nn.Module):
     bias_init: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         k = self.kernel_size
         fan_in = (self.in_channels // self.groups) * k * k
         bound = 1.0 / math.sqrt(fan_in)
@@ -214,6 +214,13 @@ class Conv2d(nn.Module):
             self.kernel_init or default_kernel_init,
             (k, k, self.in_channels // self.groups, self.out_channels),
         )
+        if return_params:
+            # Escape hatch for fused pallas callers (ops/pallas/fused_mlp.py).
+            b = (
+                self.param("bias", self.bias_init or default_bias_init, (self.out_channels,))
+                if self.use_bias else None
+            )
+            return kernel, b
         if isinstance(self.padding, int):
             pad = [(self.padding, self.padding)] * 2
         else:

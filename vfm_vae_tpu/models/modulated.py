@@ -99,7 +99,11 @@ class ModulatedPointwiseConv2DLayer(nn.Module):
     demodulate: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray, return_params: bool = False):
         w = self.param("weight", trunc_normal_init(0.02), (self.in_channels, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if return_params:
+            # Escape hatch for fused pallas callers (ops/pallas/fused_mlp.py):
+            # identical param tree, compute orchestrated by the parent.
+            return w, b
         return modulated_pointwise_conv2d(x, w, style, b, self.demodulate)

@@ -1,0 +1,206 @@
+"""Fused ConvNeXt MLP Pallas kernel: modulated pw-expand -> exact GELU ->
+pw-contract -> layer-scale -> residual, without materializing the 4x hidden.
+
+Why: in ConvNeXtSynthesisLayer (reference convnext_utils.py:78-142) the
+pointwise expansion produces a (B, H, W, 4C) tensor. At the decoder's top
+resolution (256^2, C=128, B=128) that is an 8 GB HLO temp — it both OOMs
+HBM at large batch and costs ~16 GB of write+read traffic per layer that
+XLA cannot fuse away (two dot_generals with a transcendental between them).
+
+This kernel tiles over (batch, row-tiles of the flattened H*W axis), keeps
+the hidden tile in VMEM/registers, and chains both matmuls on the MXU with
+fp32 accumulation:
+
+    out = x_in + gamma * ( gelu((x * style_b) @ W1 * d1_b + b1) @ W2 + b2 )
+
+Arithmetic intensity ~ 2*C flops/byte (C >= 128 -> MXU-bound); HBM traffic
+drops from ~5 reads+writes of the wide hidden to exactly one read of x/x_in
+and one write of out.
+
+Parity: exact same math as models/modulated.py modulated_pointwise_conv2d +
+gelu(approximate=False) + Conv2d 1x1 + layer scale + residual; verified in
+interpret mode by tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_HALF = 0.7071067811865476
+
+
+def _dot(a, b):
+    """MXU matmul (bf16-in ok) with fp32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            g_ref, o_ref):
+    # x_ref: (1, T, C) normed input tile; xin_ref: residual tile.
+    s = s_ref[0, 0].astype(jnp.float32)  # (C,) per-sample style
+    xs = (x_ref[0].astype(jnp.float32) * s[None, :]).astype(x_ref.dtype)
+    h = _dot(xs, w1_ref[...])  # (T, 4C) fp32 accum
+    h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0].astype(jnp.float32)[None, :]
+    # Exact GELU (erf form), matching jax.nn.gelu(approximate=False).
+    h = h * 0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF))
+    y = _dot(h.astype(x_ref.dtype), w2_ref[...])
+    y = y + b2_ref[0].astype(jnp.float32)[None, :]
+    y = y * g_ref[0].astype(jnp.float32)[None, :]
+    o_ref[0] = (y + xin_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
+    B, N, C = x.shape
+    H = w1.shape[1]
+    # Row tile: keep x/xin/out tiles + the (T, 4C) fp32 hidden within a
+    # few MB of VMEM next to both weight blocks.
+    itemsize = x.dtype.itemsize
+    budget = 2 * 1024 * 1024  # bytes for the hidden tile
+    t = max(8, min(N, budget // max(H * 4, 1)))
+    T = next((v for v in range(t, 7, -1) if N % v == 0), N)
+    grid = (B, N // T)
+
+    const = lambda b, i: (0, 0)
+    per_b = lambda b, i: (b, 0, 0)  # (B, 1, C) layout: trailing dims full
+    tile = lambda b, i: (b, i, 0)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * C * H,
+            bytes_accessed=3 * B * N * C * itemsize + 2 * C * H * itemsize,
+            transcendentals=B * N * H,
+        ),
+    )(x, x_in, styles.reshape(B, 1, C), dcoef.reshape(B, 1, H),
+      w1, b1.reshape(1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
+
+
+def _gelu_exact(h):
+    return h * 0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF))
+
+
+def _forward_jnp(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, dtype):
+    """Same math as the kernel (bf16 matmuls, fp32 accumulation) in plain
+    XLA — the CPU reference for parity tests and the remat base for bwd."""
+    xs = (x.astype(jnp.float32) * styles[:, None, :].astype(jnp.float32)).astype(dtype)
+    h = jax.lax.dot_general(
+        xs, w1.astype(dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h * dcoef[:, None, :].astype(jnp.float32) + b1.astype(jnp.float32)
+    a = _gelu_exact(h)
+    y = jax.lax.dot_general(
+        a.astype(dtype), w2.astype(dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y + b2.astype(jnp.float32)) * gamma.astype(jnp.float32)
+    return (y + xi.astype(jnp.float32)).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_op(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
+    if use_pallas:
+        return _fused(x, xi, styles, dcoef, w1.astype(x.dtype), b1,
+                      w2.astype(x.dtype), b2, gamma)
+    return _forward_jnp(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, x.dtype)
+
+
+def _fused_fwd(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
+    out = _fused_op(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas)
+    return out, (x, styles, dcoef, w1, b1, w2, b2, gamma)
+
+
+def _fused_bwd(use_pallas, res, g):
+    """Hand-written backward (plain XLA, rematerializes the hidden — the
+    same memory profile jax.checkpoint would give the unfused chain)."""
+    x, styles, dcoef, w1, b1, w2, b2, gamma = res
+    f32 = jnp.float32
+    dt = x.dtype
+    gf = g.astype(f32)
+    # Recompute forward intermediates.
+    xs = (x.astype(f32) * styles[:, None, :].astype(f32)).astype(dt)
+    h1 = jax.lax.dot_general(xs, w1.astype(dt), (((2,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    h = h1 * dcoef[:, None, :].astype(f32) + b1.astype(f32)
+    a = _gelu_exact(h)
+    y_pre = jax.lax.dot_general(a.astype(dt), w2.astype(dt), (((2,), (0,)), ((), ())),
+                                preferred_element_type=f32) + b2.astype(f32)
+    # out = (y_pre * gamma + xi); all grads in fp32.
+    dxi = g
+    dgamma = jnp.sum(gf * y_pre, axis=(0, 1))
+    dy = gf * gamma.astype(f32)
+    db2 = jnp.sum(dy, axis=(0, 1))
+    da = jax.lax.dot_general(dy.astype(dt), w2.astype(dt), (((2,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dw2 = jnp.einsum("bnh,bnc->hc", a.astype(dt), dy.astype(dt),
+                     preferred_element_type=f32)
+    # d gelu (erf form): 0.5*(1+erf(h/sqrt2)) + h * pdf(h)
+    pdf = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    dh = da * (0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF)) + h * pdf)
+    db1 = jnp.sum(dh, axis=(0, 1))
+    ddcoef = jnp.sum(dh * h1, axis=1)
+    dh1 = dh * dcoef[:, None, :].astype(f32)
+    dxs = jax.lax.dot_general(dh1.astype(dt), w1.astype(dt), (((2,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dw1 = jnp.einsum("bnc,bnh->ch", xs, dh1.astype(dt), preferred_element_type=f32)
+    dx = (dxs * styles[:, None, :].astype(f32)).astype(dt)
+    dstyles = jnp.sum(dxs * x.astype(f32), axis=1)
+    return (dx, dxi, dstyles.astype(styles.dtype), ddcoef.astype(dcoef.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.astype(b2.dtype), dgamma.astype(gamma.dtype))
+
+
+_fused_op.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_convnext_mlp(
+    x: jnp.ndarray,      # (B, H, W, C) normed activations
+    x_in: jnp.ndarray,   # (B, H, W, C) residual input
+    styles: jnp.ndarray, # (B, C) modulation scales
+    dcoef: jnp.ndarray,  # (B, 4C) demodulation coefs (pass ones if none)
+    w1: jnp.ndarray,     # (C, 4C)
+    b1: jnp.ndarray,     # (4C,)
+    w2: jnp.ndarray,     # (4C, C)
+    b2: jnp.ndarray,     # (C,)
+    gamma: jnp.ndarray,  # (C,) layer scale (pass ones if none)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Hh, Ww, C = x.shape
+    xf = x.reshape(B, Hh * Ww, C)
+    xi = x_in.reshape(B, Hh * Ww, C)
+    out = _fused_op(xf, xi, styles, dcoef, w1, b1, w2, b2, gamma,
+                    not interpret)
+    return out.reshape(x.shape)
+
+
+def fused_mlp_eligible(x: jnp.ndarray) -> bool:
+    """TPU backend, MXU-friendly channel count, flattenable spatial axis."""
+    if os.environ.get("VFM_VAE_DISABLE_PALLAS_MLP") == "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    C = x.shape[-1]
+    return C % 128 == 0 and x.shape[1] * x.shape[2] >= 8

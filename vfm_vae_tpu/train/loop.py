@@ -367,14 +367,65 @@ def training_loop(
                 stats_file.flush()
             collector.reset()
 
+            snap_path = None
             if rank == 0 and network_snapshot_ticks and (
                 cur_tick % network_snapshot_ticks == 0 or done
             ):
                 import flax.serialization
 
                 sd = flax.serialization.to_state_dict(state)
-                path = save_snapshot(run_dir, cur_nimg // 1000, sd)
-                print0(f"Saved snapshot {path}")
+                snap_path = save_snapshot(run_dir, cur_nimg // 1000, sd)
+                print0(f"Saved snapshot {snap_path}")
+
+            # Metric evaluation rides the snapshot cadence (reference:
+            # training_loop.py metric block — calc_metric per configured name
+            # on the snapshot, report to metric-<name>.jsonl).
+            if rank == 0 and metrics and network_snapshot_ticks and (
+                cur_tick % network_snapshot_ticks == 0 or done
+            ):
+                from ..metrics import metric_main
+
+                for mname in metrics:
+                    if not metric_main.is_valid_metric(mname):
+                        print0(f"[warn] unknown metric '{mname}'; have "
+                               f"{metric_main.list_metrics()}")
+                        continue
+                    if mname != "recon_suite":
+                        # rfid/pr/IS/clip_score need offline detector weights
+                        # + a full 50k pass; run via tools/reconstruct.
+                        print0(f"[warn] metric '{mname}' is offline-only "
+                               f"(tools/reconstruct/evaluate.py); skipped in-loop")
+                        continue
+                    pairs = []
+                    for _ in range(2):  # small sample: 2 streamed batches
+                        m_imgs, m_lbls = next(data_iter)
+                        m_real = jnp.asarray(m_imgs, jnp.float32) / 255.0
+                        if isinstance(m_lbls, np.ndarray):
+                            m_c = jnp.asarray(m_lbls)
+                        elif tokenizer is not None and m_lbls and isinstance(m_lbls[0], str):
+                            tok = tokenizer(list(m_lbls))
+                            m_c = {
+                                "input_ids": jnp.asarray(tok["input_ids"]),
+                                "attention_mask": jnp.asarray(tok["attention_mask"]),
+                            }
+                        else:
+                            m_c = None
+                        out = G.apply(
+                            {"params": state.ema_params, "buffers": state.g_bufs},
+                            m_real,
+                            m_c,
+                            rng=jax.random.PRNGKey(0),
+                            validation=True,
+                            train=False,
+                        )
+                        pairs.append(
+                            (np.asarray(m_real), (np.asarray(out.gen_img) + 1) / 2)
+                        )
+                    res = metric_main.calc_metric(
+                        mname, pairs=pairs,
+                        lpips_module=lpips_module, lpips_params=lpips_params,
+                    )
+                    metric_main.report_metric(res, run_dir=run_dir, snapshot_pkl=snap_path)
 
             if rank == 0 and image_snapshot_ticks and (
                 cur_tick % image_snapshot_ticks == 0 or done
