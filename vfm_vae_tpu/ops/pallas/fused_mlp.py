@@ -42,6 +42,18 @@ def _dot(a, b):
     )
 
 
+def _erf_poly(x):
+    """erf via Abramowitz-Stegun 7.1.26 (measured |err| <= 5e-7 in fp32 —
+    far below bf16 output resolution). Pallas TPU has no erf primitive;
+    exp it has."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             g_ref, o_ref):
     # x_ref: (1, T, C) normed input tile; xin_ref: residual tile.
@@ -49,8 +61,9 @@ def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     xs = (x_ref[0].astype(jnp.float32) * s[None, :]).astype(x_ref.dtype)
     h = _dot(xs, w1_ref[...])  # (T, 4C) fp32 accum
     h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0].astype(jnp.float32)[None, :]
-    # Exact GELU (erf form), matching jax.nn.gelu(approximate=False).
-    h = h * 0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF))
+    # Exact GELU (erf form), matching jax.nn.gelu(approximate=False) to
+    # within the polynomial's ~5e-7.
+    h = h * 0.5 * (1.0 + _erf_poly(h * _SQRT_HALF))
     y = _dot(h.astype(x_ref.dtype), w2_ref[...])
     y = y + b2_ref[0].astype(jnp.float32)[None, :]
     y = y * g_ref[0].astype(jnp.float32)[None, :]
