@@ -293,3 +293,34 @@ def test_ldm_adapter_encode_decode_matches_reference(how, use_vf):
         dec_ref = ref.decode(to_nchw_tensor(z))
     dec = ours.apply({"params": params}, jnp.asarray(z), method=ours.decode)
     np.testing.assert_allclose(np.asarray(dec), to_nhwc(dec_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_convnext_layer_fused_branch_wiring(monkeypatch):
+    """The fused-kernel branch in ConvNeXtSynthesisLayer must produce the
+    same output as the unfused module chain (wiring parity: style, demod
+    coefs, params, residual). Kernel numerics themselves are verified on
+    TPU; here the branch runs through the interpret path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.models.convnext import ConvNeXtSynthesisLayer
+    from vfm_vae_tpu.ops.pallas import fused_mlp
+
+    layer = ConvNeXtSynthesisLayer(channels=128, w_dim=32, kernel_size=5, legacy=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    wv = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    v = layer.init(jax.random.PRNGKey(2), x, wv)
+
+    want = layer.apply(v, x, wv)  # unfused (CPU not eligible)
+
+    monkeypatch.setattr(fused_mlp, "fused_mlp_eligible", lambda x: True)
+    monkeypatch.setattr(
+        fused_mlp, "fused_convnext_mlp",
+        functools.partial(fused_mlp.fused_convnext_mlp.__wrapped__, interpret=True)
+        if hasattr(fused_mlp.fused_convnext_mlp, "__wrapped__")
+        else functools.partial(fused_mlp.fused_convnext_mlp, interpret=True),
+    )
+    got = layer.apply(v, x, wv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
