@@ -5,6 +5,10 @@ run-dir setup, auto-resume, launch training_loop).
 Usage:  python train.py --config configs/<name>.yaml [--max-steps N]
 Single-host multi-chip runs use all local TPU devices through one process
 (no torchrun equivalent needed — jit + mesh replaces process-per-device).
+Multi-host TPU pod slices: run the same command on every host with
+--multihost (or set VFM_VAE_MULTIHOST=1); jax.distributed.initialize()
+auto-discovers the coordinator from the TPU pod metadata (the reference's
+torchrun/NCCL bootstrap, train.py:119-122, maps to this one call).
 """
 
 from __future__ import annotations
@@ -21,7 +25,17 @@ def main():
     parser.add_argument("--config", required=True, help="YAML config path")
     parser.add_argument("--max-steps", type=int, default=None, help="debug: stop after N steps")
     parser.add_argument("--no-resume", action="store_true", help="disable auto-resume")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed for a multi-host TPU pod slice",
+    )
     args = parser.parse_args()
+
+    if args.multihost or os.environ.get("VFM_VAE_MULTIHOST") == "1":
+        import jax
+
+        # On TPU pods all arguments are auto-detected from the environment.
+        jax.distributed.initialize()
 
     from vfm_vae_tpu.core.config import derive_config, load_config
     from vfm_vae_tpu.core.logging import Logger, print0
