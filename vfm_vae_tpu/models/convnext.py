@@ -71,7 +71,7 @@ class ConvNeXtSynthesisLayer(nn.Module):
                 noise = resize_bilinear(noise, size=(H, W))
             x = x + noise.astype(x.dtype)
 
-        x = GroupNorm32(min(32, C // 4), C, name="norm")(x)
+        norm = GroupNorm32(min(32, C // 4), C, name="norm")
         pw1 = ModulatedPointwiseConv2DLayer(C, 4 * C, self.demodulate, name="pwconv1")
         pw2 = Conv2d(
             4 * C, C, 1,
@@ -87,8 +87,13 @@ class ConvNeXtSynthesisLayer(nn.Module):
         from ..ops.pallas.fused_mlp import fused_convnext_mlp, fused_mlp_eligible
 
         if fused_mlp_eligible(x):
-            # Fused pallas path: expand -> GELU -> contract without
-            # materializing the (B, H, W, 4C) hidden in HBM.
+            # Fused pallas path: GN-apply + modulate + expand -> GELU ->
+            # contract without materializing the (B, H, W, 4C) hidden and
+            # without a separate normalization pass over x. GN is affine in
+            # x per channel: gn(x) = x*a + c with a = rstd*gn_w,
+            # c = gn_b - mean*rstd*gn_w, so (gn(x)*style) @ W1 * d + b1
+            # = (x * (a*style)) @ W1 * d + [((c*style) @ W1) * d + b1].
+            mean, rstd, gnw, gnb = norm(x, stats_only=True)
             w1, b1 = pw1(None, None, return_params=True)
             w2k, b2 = pw2(None, return_params=True)
             if self.demodulate:
@@ -98,10 +103,18 @@ class ConvNeXtSynthesisLayer(nn.Module):
             else:
                 d = jnp.ones((x.shape[0], 4 * C), jnp.float32)
             g = gamma if gamma is not None else jnp.ones((C,), jnp.float32)
+
+            reps = C // mean.shape[1]
+            sf = style.astype(jnp.float32)
+            a = jnp.repeat(rstd, reps, axis=1) * gnw[None, :]  # (B, C)
+            c = gnb[None, :] - jnp.repeat(mean * rstd, reps, axis=1) * gnw[None, :]
+            A = a * sf
+            b1_eff = ((c * sf) @ w1.astype(jnp.float32)) * d + b1[None, :]
             return fused_convnext_mlp(
-                x, x_in, style, d, w1, b1, w2k[0, 0], b2, g
+                x, x_in, A, d, w1, b1_eff, w2k[0, 0], b2, g
             ).astype(dtype)
 
+        x = norm(x)
         x = pw1(x, style)
         x = jax.nn.gelu(x, approximate=False)
         x = pw2(x)

@@ -134,9 +134,16 @@ class GroupNorm32(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, stats_only: bool = False):
         w = self.param("weight", nn.initializers.ones, (self.num_channels,))
         b = self.param("bias", nn.initializers.zeros, (self.num_channels,))
+        if stats_only:
+            # Escape hatch for fused pallas callers: per-(sample, group)
+            # (mean, rstd) + affine params; normalization applied in-kernel.
+            from ..ops.groupnorm import group_stats
+
+            mean, rstd = group_stats(x, self.num_groups, self.eps)
+            return mean, rstd, w, b
         return _group_norm_fn(x, self.num_groups, w, b, self.eps)
 
 

@@ -14,6 +14,20 @@ import jax
 import jax.numpy as jnp
 
 
+def group_stats(x: jnp.ndarray, num_groups: int, eps: float = 1e-5):
+    """One-pass per-(sample, group) statistics: (mean, rsqrt(var+eps)),
+    both (B, G) fp32. E[x^2]-E[x]^2 form — ONE read of x with both
+    reductions in a single XLA fusion (the two-pass form reads x twice;
+    on the decoder's 256^2 activations that is pure HBM waste)."""
+    B, H, W, C = x.shape
+    assert C % num_groups == 0, (C, num_groups)
+    xf = x.reshape(B, H, W, num_groups, C // num_groups).astype(jnp.float32)
+    m1 = xf.mean(axis=(1, 2, 4))
+    m2 = jnp.square(xf).mean(axis=(1, 2, 4))
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    return m1, jax.lax.rsqrt(var + eps)
+
+
 def group_norm(
     x: jnp.ndarray,
     num_groups: int,
@@ -27,18 +41,21 @@ def group_norm(
     normalization stays in the input dtype — under bf16 this keeps the big
     spatial tensors out of fp32 HBM traffic (the reference's fp32 cast was
     an fp16-range workaround, unnecessary with bf16's fp32 exponent range).
-    fp32 inputs take the bit-exact reference path."""
+    fp32 inputs take the bit-exact two-pass reference path; bf16 inputs use
+    the one-pass moment form (difference is far below bf16 resolution)."""
     orig_dtype = x.dtype
     B, H, W, C = x.shape
     assert C % num_groups == 0, (C, num_groups)
     xg = x.reshape(B, H, W, num_groups, C // num_groups)
-    xf = xg.astype(jnp.float32)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = jnp.square(xf - mean).mean(axis=(1, 2, 4), keepdims=True)
     if orig_dtype == jnp.float32:
+        xf = xg.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=(1, 2, 4), keepdims=True)
         y = (xf - mean) / jnp.sqrt(var + eps)
     else:
-        inv = jax.lax.rsqrt(var + eps)
+        mean, inv = group_stats(x, num_groups, eps)
+        mean = mean[:, None, None, :, None]
+        inv = inv[:, None, None, :, None]
         y = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
     y = y.reshape(B, H, W, C)
     if weight is not None:

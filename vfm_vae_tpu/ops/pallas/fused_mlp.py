@@ -60,7 +60,7 @@ def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     s = s_ref[0, 0].astype(jnp.float32)  # (C,) per-sample style
     xs = (x_ref[0].astype(jnp.float32) * s[None, :]).astype(x_ref.dtype)
     h = _dot(xs, w1_ref[...])  # (T, 4C) fp32 accum
-    h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0].astype(jnp.float32)[None, :]
+    h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0, 0].astype(jnp.float32)[None, :]
     # Exact GELU (erf form), matching jax.nn.gelu(approximate=False) to
     # within the polynomial's ~5e-7.
     h = h * 0.5 * (1.0 + _erf_poly(h * _SQRT_HALF))
@@ -95,7 +95,7 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
             pl.BlockSpec((1, 1, C), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, H), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
@@ -108,7 +108,7 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
             transcendentals=B * N * H,
         ),
     )(x, x_in, styles.reshape(B, 1, C), dcoef.reshape(B, 1, H),
-      w1, b1.reshape(1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
+      w1, b1.reshape(B, 1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
 
 
 def _gelu_exact(h):
@@ -123,7 +123,7 @@ def _forward_jnp(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, dtype):
         xs, w1.astype(dtype), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    h = h * dcoef[:, None, :].astype(jnp.float32) + b1.astype(jnp.float32)
+    h = h * dcoef[:, None, :].astype(jnp.float32) + b1[:, None, :].astype(jnp.float32)
     a = _gelu_exact(h)
     y = jax.lax.dot_general(
         a.astype(dtype), w2.astype(dtype), (((2,), (0,)), ((), ())),
@@ -157,7 +157,7 @@ def _fused_bwd(use_pallas, res, g):
     xs = (x.astype(f32) * styles[:, None, :].astype(f32)).astype(dt)
     h1 = jax.lax.dot_general(xs, w1.astype(dt), (((2,), (0,)), ((), ())),
                              preferred_element_type=f32)
-    h = h1 * dcoef[:, None, :].astype(f32) + b1.astype(f32)
+    h = h1 * dcoef[:, None, :].astype(f32) + b1[:, None, :].astype(f32)
     a = _gelu_exact(h)
     y_pre = jax.lax.dot_general(a.astype(dt), w2.astype(dt), (((2,), (0,)), ((), ())),
                                 preferred_element_type=f32) + b2.astype(f32)
@@ -173,7 +173,7 @@ def _fused_bwd(use_pallas, res, g):
     # d gelu (erf form): 0.5*(1+erf(h/sqrt2)) + h * pdf(h)
     pdf = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
     dh = da * (0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF)) + h * pdf)
-    db1 = jnp.sum(dh, axis=(0, 1))
+    db1 = jnp.sum(dh, axis=1)  # (B, 4C): b1 is per-sample at this boundary
     ddcoef = jnp.sum(dh * h1, axis=1)
     dh1 = dh * dcoef[:, None, :].astype(f32)
     dxs = jax.lax.dot_general(dh1.astype(dt), w1.astype(dt), (((2,), (1,)), ((), ())),
@@ -195,7 +195,7 @@ def fused_convnext_mlp(
     styles: jnp.ndarray, # (B, C) modulation scales
     dcoef: jnp.ndarray,  # (B, 4C) demodulation coefs (pass ones if none)
     w1: jnp.ndarray,     # (C, 4C)
-    b1: jnp.ndarray,     # (4C,)
+    b1: jnp.ndarray,     # (4C,) shared or (B, 4C) per-sample (GN-folded)
     w2: jnp.ndarray,     # (4C, C)
     b2: jnp.ndarray,     # (C,)
     gamma: jnp.ndarray,  # (C,) layer scale (pass ones if none)
@@ -204,6 +204,11 @@ def fused_convnext_mlp(
     B, Hh, Ww, C = x.shape
     xf = x.reshape(B, Hh * Ww, C)
     xi = x_in.reshape(B, Hh * Ww, C)
+    if b1.ndim == 1:
+        # Per-sample b1 at the custom_vjp boundary (the GN-folded path
+        # passes an effective per-sample bias); broadcasting here lets
+        # autodiff reduce db1 back to (4C,) for plain callers.
+        b1 = jnp.broadcast_to(b1[None, :], (B, b1.shape[0]))
     out = _fused_op(xf, xi, styles, dcoef, w1, b1, w2, b2, gamma,
                     not interpret)
     return out.reshape(x.shape)
