@@ -356,3 +356,21 @@ class TestFusedConvNeXtMLP:
         v = layer.init(jax.random.PRNGKey(0), x, w)
         out = layer.apply(v, x, w)
         assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_group_stats_matches_group_norm():
+    """stats_only escape must reproduce the module's own normalization:
+    (x - mean) * rstd * w + b == GroupNorm32(x) (bf16 one-pass path)."""
+    from vfm_vae_tpu.models.layers import GroupNorm32
+
+    gn = GroupNorm32(4, 16)
+    x32 = jnp.asarray(RNG.standard_normal((2, 6, 6, 16)), jnp.float32)
+    x = (x32 * 3 + 0.7).astype(jnp.bfloat16)
+    v = gn.init(jax.random.PRNGKey(0), x)
+    want = gn.apply(v, x)
+    mean, rstd, w, b = gn.apply(v, x, stats_only=True)
+    reps = 16 // mean.shape[1]
+    mc = np.repeat(np.asarray(mean), reps, axis=1)[:, None, None, :]
+    rc = np.repeat(np.asarray(rstd), reps, axis=1)[:, None, None, :]
+    got = (np.asarray(x, np.float32) - mc) * rc * np.asarray(w) + np.asarray(b)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32), atol=0.03, rtol=0.03)
