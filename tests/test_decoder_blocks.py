@@ -324,3 +324,65 @@ def test_convnext_layer_fused_branch_wiring(monkeypatch):
     )
     got = layer.apply(v, x, wv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_upsample_wiring(monkeypatch):
+    """Fused upsample branch (GN fold + dw + pw + shuffle + blur in one op)
+    must match the module's unfused chain."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.models.convnext import SeparableUpsampleWithFixedBlur
+    from vfm_vae_tpu.ops.pallas import fused_upsample
+
+    for taps in ("3x3", "5x5"):
+        mod = SeparableUpsampleWithFixedBlur(
+            in_channels=128, out_channels=32, blur_kernel=taps,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+        v = mod.init(jax.random.PRNGKey(1), x)
+        want = mod.apply(v, x)
+
+        monkeypatch.setattr(fused_upsample, "fused_upsample_eligible",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(
+            fused_upsample, "fused_upsample_blur",
+            functools.partial(fused_upsample.fused_upsample_blur.__wrapped__
+                              if hasattr(fused_upsample.fused_upsample_blur, "__wrapped__")
+                              else fused_upsample.fused_upsample_blur, interpret=True),
+        )
+        got = mod.apply(v, x)
+        monkeypatch.undo()
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+            err_msg=f"taps={taps}",
+        )
+        assert got.shape == (2, 16, 16, 32)
+
+
+def test_fused_upsample_grads(monkeypatch):
+    """custom_vjp backward (jax.vjp of the jnp chain) gives finite grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.ops.pallas.fused_upsample import fused_upsample_blur
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (2, 8, 8, 16))
+    a = 1.0 + 0.1 * jax.random.normal(ks[1], (2, 16))
+    c = 0.1 * jax.random.normal(ks[2], (2, 16))
+    dw = 0.2 * jax.random.normal(ks[3], (3, 3, 16))
+    pw = 0.2 * jax.random.normal(ks[4], (16, 32))
+    taps = np.asarray([1, 2, 1], np.float32); taps /= taps.sum()
+
+    def lf(args):
+        x, a, c, dw, pw = args
+        out = fused_upsample_blur(x, a, c, dw, pw, taps, interpret=True)
+        return jnp.sum(out * out)
+
+    val, grads = jax.value_and_grad(lf)((x, a, c, dw, pw))
+    assert np.isfinite(float(val))
+    for g_ in grads:
+        assert np.isfinite(np.asarray(g_)).all() and float(jnp.abs(g_).max()) > 0

@@ -174,6 +174,32 @@ class SeparableUpsampleWithFixedBlur(nn.Module):
         depthwise = Conv2d(cin, cin, 3, padding=1, groups=cin, use_bias=False, name="depthwise")
         pointwise = Conv2d(cin, cout * r * r, 1, use_bias=False, name="pointwise")
 
+        taps_arr = self.blur_kernel
+        if isinstance(taps_arr, str):
+            taps_arr = GAUSSIAN_KERNELS[taps_arr]
+        taps_np = np.asarray(taps_arr, np.float32)
+        if self.blur_normalize:
+            taps_np = taps_np / taps_np.sum()
+
+        from ..ops.pallas.fused_upsample import (
+            fused_upsample_blur,
+            fused_upsample_eligible,
+        )
+
+        if fused_upsample_eligible(
+            x, r, len(taps_np), self.pre_normalize, self.use_gaussian_blur,
+            self.pad_mode, cin, cout,
+        ):
+            # One pallas pass: GN (folded affine) -> dw3x3 -> pw expand ->
+            # PixelShuffle -> separable edge-pad blur.
+            mean, rstd, gnw, gnb = norm(x, stats_only=True)
+            dwk, _ = depthwise(None, return_params=True)   # (3, 3, 1, cin)
+            pwk, _ = pointwise(None, return_params=True)   # (1, 1, cin, cout*4)
+            reps = cin // mean.shape[1]
+            a = jnp.repeat(rstd, reps, axis=1) * gnw[None, :]
+            c = gnb[None, :] - jnp.repeat(mean * rstd, reps, axis=1) * gnw[None, :]
+            return fused_upsample_blur(x, a, c, dwk[:, :, 0, :], pwk[0, 0], taps_np)
+
         if self.pre_normalize:
             x = norm(x)
             x = depthwise(x)

@@ -18,13 +18,22 @@ def group_stats(x: jnp.ndarray, num_groups: int, eps: float = 1e-5):
     """One-pass per-(sample, group) statistics: (mean, rsqrt(var+eps)),
     both (B, G) fp32. E[x^2]-E[x]^2 form — ONE read of x with both
     reductions in a single XLA fusion (the two-pass form reads x twice;
-    on the decoder's 256^2 activations that is pure HBM waste)."""
+    on the decoder's 256^2 activations that is pure HBM waste).
+
+    Reduce over (H, W) first, THEN fold channels into groups: reducing the
+    strided 5-D (B,H,W,G,C/G) view directly runs at ~30 GB/s on v5e while
+    this form hits ~350 GB/s (12x) — the spatial axes are contiguous lanes,
+    the group fold is a tiny (B, C) -> (B, G) follow-up."""
     B, H, W, C = x.shape
     assert C % num_groups == 0, (C, num_groups)
-    xf = x.reshape(B, H, W, num_groups, C // num_groups).astype(jnp.float32)
-    m1 = xf.mean(axis=(1, 2, 4))
-    m2 = jnp.square(xf).mean(axis=(1, 2, 4))
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))              # (B, C)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))  # (B, C)
+    s1 = s1.reshape(B, num_groups, C // num_groups).sum(-1)
+    s2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
+    n = H * W * (C // num_groups)
+    m1 = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(m1), 0.0)
     return m1, jax.lax.rsqrt(var + eps)
 
 
@@ -46,18 +55,19 @@ def group_norm(
     orig_dtype = x.dtype
     B, H, W, C = x.shape
     assert C % num_groups == 0, (C, num_groups)
-    xg = x.reshape(B, H, W, num_groups, C // num_groups)
     if orig_dtype == jnp.float32:
+        xg = x.reshape(B, H, W, num_groups, C // num_groups)
         xf = xg.astype(jnp.float32)
         mean = xf.mean(axis=(1, 2, 4), keepdims=True)
         var = jnp.square(xf - mean).mean(axis=(1, 2, 4), keepdims=True)
-        y = (xf - mean) / jnp.sqrt(var + eps)
+        y = ((xf - mean) / jnp.sqrt(var + eps)).reshape(B, H, W, C)
     else:
         mean, inv = group_stats(x, num_groups, eps)
-        mean = mean[:, None, None, :, None]
-        inv = inv[:, None, None, :, None]
-        y = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
-    y = y.reshape(B, H, W, C)
+        reps = C // num_groups
+        mean_c = jnp.repeat(mean, reps, axis=1).astype(orig_dtype)  # (B, C)
+        inv_c = jnp.repeat(inv, reps, axis=1).astype(orig_dtype)
+        # 4-D contiguous elementwise apply (strided 5-D broadcasts are slow).
+        y = (x - mean_c[:, None, None, :]) * inv_c[:, None, None, :]
     if weight is not None:
         y = y * weight.astype(y.dtype)
     if bias is not None:

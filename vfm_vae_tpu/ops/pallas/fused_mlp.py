@@ -56,9 +56,14 @@ def _erf_poly(x):
 
 def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             g_ref, o_ref):
-    # x_ref: (1, T, C) normed input tile; xin_ref: residual tile.
+    # x_ref: (1, th, W, C) input tile (4-D blocks: no HBM-level reshape of
+    # the activation, which XLA would lower as a layout copy); flatten the
+    # spatial axes on the VMEM tile where it is free.
+    th, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    T = th * W
     s = s_ref[0, 0].astype(jnp.float32)  # (C,) per-sample style
-    xs = (x_ref[0].astype(jnp.float32) * s[None, :]).astype(x_ref.dtype)
+    xt = x_ref[0].reshape(T, C)
+    xs = (xt.astype(jnp.float32) * s[None, :]).astype(x_ref.dtype)
     h = _dot(xs, w1_ref[...])  # (T, 4C) fp32 accum
     h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0, 0].astype(jnp.float32)[None, :]
     # Exact GELU (erf form), matching jax.nn.gelu(approximate=False) to
@@ -67,31 +72,33 @@ def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y = _dot(h.astype(x_ref.dtype), w2_ref[...])
     y = y + b2_ref[0].astype(jnp.float32)[None, :]
     y = y * g_ref[0].astype(jnp.float32)[None, :]
-    o_ref[0] = (y + xin_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    y = y + xin_ref[0].reshape(T, C).astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype).reshape(th, W, C)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
-    B, N, C = x.shape
+    B, Hh, W, C = x.shape
     H = w1.shape[1]
-    # Row tile: keep x/xin/out tiles + the (T, 4C) fp32 hidden within a
-    # few MB of VMEM next to both weight blocks.
+    # Row tile (in image rows): keep x/xin/out tiles + the (th*W, 4C) fp32
+    # hidden within a few MB of VMEM next to both weight blocks.
     itemsize = x.dtype.itemsize
     budget = 2 * 1024 * 1024  # bytes for the hidden tile
-    t = max(8, min(N, budget // max(H * 4, 1)))
-    T = next((v for v in range(t, 7, -1) if N % v == 0), N)
-    grid = (B, N // T)
+    per_row = W * H * 4
+    t = max(1, min(Hh, budget // max(per_row, 1)))
+    th = next((v for v in range(t, 0, -1) if Hh % v == 0), Hh)
+    grid = (B, Hh // th)
 
     const = lambda b, i: (0, 0)
     per_b = lambda b, i: (b, 0, 0)  # (B, 1, C) layout: trailing dims full
-    tile = lambda b, i: (b, i, 0)
+    tile = lambda b, i: (b, i, 0, 0)
 
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, T, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W, C), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, H), const, memory_space=pltpu.VMEM),
@@ -100,12 +107,12 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, C), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        out_specs=pl.BlockSpec((1, th, W, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hh, W, C), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * N * C * H,
-            bytes_accessed=3 * B * N * C * itemsize + 2 * C * H * itemsize,
-            transcendentals=B * N * H,
+            flops=4 * B * Hh * W * C * H,
+            bytes_accessed=3 * B * Hh * W * C * itemsize + 2 * C * H * itemsize,
+            transcendentals=B * Hh * W * H,
         ),
     )(x, x_in, styles.reshape(B, 1, C), dcoef.reshape(B, 1, H),
       w1, b1.reshape(B, 1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
@@ -135,10 +142,15 @@ def _forward_jnp(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, dtype):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _fused_op(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
+    # x, xi: (B, H, W, C) -- 4-D at this boundary so the pallas path never
+    # reshapes the activation in HBM.
     if use_pallas:
         return _fused(x, xi, styles, dcoef, w1.astype(x.dtype), b1,
                       w2.astype(x.dtype), b2, gamma)
-    return _forward_jnp(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, x.dtype)
+    B, Hh, W, C = x.shape
+    out = _forward_jnp(x.reshape(B, Hh * W, C), xi.reshape(B, Hh * W, C),
+                       styles, dcoef, w1, b1, w2, b2, gamma, x.dtype)
+    return out.reshape(B, Hh, W, C)
 
 
 def _fused_fwd(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
@@ -149,7 +161,10 @@ def _fused_fwd(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
 def _fused_bwd(use_pallas, res, g):
     """Hand-written backward (plain XLA, rematerializes the hidden — the
     same memory profile jax.checkpoint would give the unfused chain)."""
-    x, styles, dcoef, w1, b1, w2, b2, gamma = res
+    x4, styles, dcoef, w1, b1, w2, b2, gamma = res
+    Bb, Hh4, W4, C4 = x4.shape
+    x = x4.reshape(Bb, Hh4 * W4, C4)
+    g = g.reshape(Bb, Hh4 * W4, C4)
     f32 = jnp.float32
     dt = x.dtype
     gf = g.astype(f32)
@@ -162,7 +177,7 @@ def _fused_bwd(use_pallas, res, g):
     y_pre = jax.lax.dot_general(a.astype(dt), w2.astype(dt), (((2,), (0,)), ((), ())),
                                 preferred_element_type=f32) + b2.astype(f32)
     # out = (y_pre * gamma + xi); all grads in fp32.
-    dxi = g
+    dxi = g  # reshaped back to 4-D at return
     dgamma = jnp.sum(gf * y_pre, axis=(0, 1))
     dy = gf * gamma.astype(f32)
     db2 = jnp.sum(dy, axis=(0, 1))
@@ -181,7 +196,8 @@ def _fused_bwd(use_pallas, res, g):
     dw1 = jnp.einsum("bnc,bnh->ch", xs, dh1.astype(dt), preferred_element_type=f32)
     dx = (dxs * styles[:, None, :].astype(f32)).astype(dt)
     dstyles = jnp.sum(dxs * x.astype(f32), axis=1)
-    return (dx, dxi, dstyles.astype(styles.dtype), ddcoef.astype(dcoef.dtype),
+    return (dx.reshape(x4.shape), dxi.reshape(x4.shape),
+            dstyles.astype(styles.dtype), ddcoef.astype(dcoef.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype), dw2.astype(w2.dtype),
             db2.astype(b2.dtype), dgamma.astype(gamma.dtype))
 
@@ -201,17 +217,14 @@ def fused_convnext_mlp(
     gamma: jnp.ndarray,  # (C,) layer scale (pass ones if none)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    B, Hh, Ww, C = x.shape
-    xf = x.reshape(B, Hh * Ww, C)
-    xi = x_in.reshape(B, Hh * Ww, C)
+    B = x.shape[0]
     if b1.ndim == 1:
         # Per-sample b1 at the custom_vjp boundary (the GN-folded path
         # passes an effective per-sample bias); broadcasting here lets
         # autodiff reduce db1 back to (4C,) for plain callers.
         b1 = jnp.broadcast_to(b1[None, :], (B, b1.shape[0]))
-    out = _fused_op(xf, xi, styles, dcoef, w1, b1, w2, b2, gamma,
-                    not interpret)
-    return out.reshape(x.shape)
+    return _fused_op(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma,
+                     not interpret)
 
 
 def fused_mlp_eligible(x: jnp.ndarray) -> bool:
