@@ -83,7 +83,8 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
     # Row tile (in image rows): keep x/xin/out tiles + the (th*W, 4C) fp32
     # hidden within a few MB of VMEM next to both weight blocks.
     itemsize = x.dtype.itemsize
-    budget = 2 * 1024 * 1024  # bytes for the hidden tile
+    # Hidden-tile VMEM budget; tunable for benchmarking (KB).
+    budget = int(os.environ.get("VFM_VAE_MLP_TILE_KB", "2048")) * 1024
     per_row = W * H * 4
     t = max(1, min(Hh, budget // max(per_row, 1)))
     th = next((v for v in range(t, 0, -1) if Hh % v == 0), Hh)
