@@ -83,10 +83,13 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
     # Row tile (in image rows): keep x/xin/out tiles + the (th*W, 4C) fp32
     # hidden within a few MB of VMEM next to both weight blocks.
     itemsize = x.dtype.itemsize
-    # Hidden-tile VMEM budget; tunable for benchmarking (KB).
-    budget = int(os.environ.get("VFM_VAE_MLP_TILE_KB", "2048")) * 1024
-    per_row = W * H * 4
-    t = max(1, min(Hh, budget // max(per_row, 1)))
+    # Tile sizing (v5e sweep): C=512 runs ~10% faster with 512-token tiles
+    # (4MB hidden) than 256, but wider-token configs at C<=256 blow Mosaic's
+    # 16MB scoped VMEM. Use the larger budget only where validated.
+    default_kb = "4096" if C >= 512 else "2048"
+    budget = int(os.environ.get("VFM_VAE_MLP_TILE_KB", default_kb)) * 1024
+    tokens = max(W, budget // max(H * 4, 1))
+    t = max(1, min(Hh, tokens // W))
     th = next((v for v in range(t, 0, -1) if Hh % v == 0), Hh)
     grid = (B, Hh // th)
 
