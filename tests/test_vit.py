@@ -106,3 +106,31 @@ def test_siglip_text_tower_matches_hf():
     seq, pooled = tower.apply({"params": params}, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(seq), out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_int8_vfm_scope(tiny_siglip, tmp_path, monkeypatch):
+    """VFM_VAE_INT8_VFM=1 routes the frozen tower's Linears through the
+    dynamic-W8A8 path; outputs must stay close to the fp path (the per-matmul
+    error is ~1%; across a 2-layer tower cosine > 0.99)."""
+    import jax
+
+    from vfm_vae_tpu.models.vfm import VFMEncoder
+
+    cfg, model = tiny_siglip
+    d = tmp_path / "siglip2-tiny-patch8-32"
+    model.save_pretrained(d)
+
+    enc = VFMEncoder(model_name=str(d), scale_factor=1.0, patch_from_layers=[-1])
+    img = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)), jnp.float32)
+    v = enc.init({"params": jax.random.PRNGKey(0)}, img, method=enc.encode_image)
+
+    feats_fp, _ = enc.apply(v, img, method=enc.encode_image)
+    monkeypatch.setenv("VFM_VAE_INT8_VFM", "1")
+    feats_q, _ = enc.apply(v, img, method=enc.encode_image)
+    monkeypatch.delenv("VFM_VAE_INT8_VFM")
+
+    a = np.asarray(feats_fp[-1], np.float64).reshape(-1)
+    b = np.asarray(feats_q[-1], np.float64).reshape(-1)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos
+    assert not np.allclose(a, b)  # the int8 path actually ran

@@ -246,6 +246,26 @@ class Conv2d(nn.Module):
         return y
 
 
+# Trace-time flag: inside an int8_linear_scope() the Linear layers below
+# run as dynamic-W8A8 int8 matmuls (ops/quantized.py). Used by the frozen
+# VFM towers at serving time (VFM_VAE_INT8_VFM=1); tracing is
+# single-threaded per jit so a module global is safe.
+_INT8_SCOPE = [False]
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def int8_linear_scope(enabled: bool = True):
+    prev = _INT8_SCOPE[0]
+    _INT8_SCOPE[0] = enabled
+    try:
+        yield
+    finally:
+        _INT8_SCOPE[0] = prev
+
+
 class Linear(nn.Module):
     """torch nn.Linear equivalent ((in,out) kernel, kaiming-uniform init)."""
 
@@ -263,6 +283,14 @@ class Linear(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         w = self.param("weight", self.kernel_init or default_init, (self.in_features, self.out_features))
+        if _INT8_SCOPE[0]:
+            from ..ops.quantized import int8_linear
+
+            b = (
+                self.param("bias", self.bias_init or default_init, (self.out_features,))
+                if self.use_bias else None
+            )
+            return int8_linear(x, w, b)
         y = x @ w.astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", self.bias_init or default_init, (self.out_features,))

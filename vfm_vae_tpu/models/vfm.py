@@ -264,12 +264,19 @@ class VFMEncoder(nn.Module):
     ) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
         x = self.preprocess(img, eq_scale_factor, is_eq_prior)
         x = x.astype(self.compute_dtype)
+        # Frozen tower: optional dynamic-int8 serving path (2x MXU rate on
+        # v5e; ops/quantized.py). Opt-in via VFM_VAE_INT8_VFM=1.
+        from ..ops.quantized import int8_vfm_enabled
+        from .layers import int8_linear_scope
+
         if self.family == "qwen":
-            return self._encode_image_qwen(x)
+            with int8_linear_scope(int8_vfm_enabled()):
+                return self._encode_image_qwen(x)
         collect = self._hidden_indices()
-        hs, last, pooled = self.tower(
-            x, collect=collect, interpolate_pos_encoding=True, need_pooled=need_pooled
-        )
+        with int8_linear_scope(int8_vfm_enabled()):
+            hs, last, pooled = self.tower(
+                x, collect=collect, interpolate_pos_encoding=True, need_pooled=need_pooled
+            )
         n = self.preset["num_layers"]
         feats = []
         for i in self.patch_from_layers:
