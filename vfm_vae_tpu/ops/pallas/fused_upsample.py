@@ -181,17 +181,22 @@ def _forward_jnp(x, a, c, dw, pw, taps, kb: int):
     B, H, W, Ci = x.shape
     Co = pw.shape[1] // 4
     dt = x.dtype
+    # All-fp32 conv (no preferred_element_type: its transpose rule rejects
+    # mixed-dtype cotangents, which breaks jax.vjp in the bwd path). The
+    # bf16 round-trip on xn keeps parity with the kernel's bf16 tile loads.
     xn = (x.astype(jnp.float32) * a[:, None, None, :].astype(jnp.float32)
           + c[:, None, None, :].astype(jnp.float32)).astype(dt)
     t = jax.lax.conv_general_dilated(
-        xn, dw[:, :, None, :].astype(dt), (1, 1), [(1, 1), (1, 1)],
+        xn.astype(jnp.float32), dw[:, :, None, :].astype(jnp.float32),
+        (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=Ci,
-        preferred_element_type=jnp.float32,
     )
+    # bf16 dot (TPU accumulates fp32 internally — same as the kernel's
+    # explicit f32-accum dot rounded to bf16).
     u = jax.lax.dot_general(
         t.reshape(B, H * W, Ci).astype(dt), pw.astype(dt),
-        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        (((2,), (0,)), ((), ())),
     ).astype(dt)
     u = u.reshape(B, H, W, 4 * Co)
     s = pixel_shuffle(u, 2)
