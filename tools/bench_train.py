@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -42,6 +42,9 @@ def main():
     fn, (gv, _) = ge.entry()
     G = [c.cell_contents for c in fn.__closure__
          if type(c.cell_contents).__name__ == "Generator"][0]
+    # Training needs rematerialization: the 256px backward at the flagship
+    # size exhausts HBM without it (params are remat-invariant, reuse gv).
+    G = G.clone(remat=True)
 
     B = args.batch
     D = ProjectedDiscriminator(
