@@ -186,3 +186,48 @@ def test_grad_accumulation(rig, mesh8):
         d_step = jax.jit(t2.d_step, static_argnames=("eq", "blur_sigma"))
         s2, dstats, dtotal = d_step(s1, real_sh, None, rng, (1.0, 0, False))
         assert np.isfinite(float(dtotal))
+
+
+def test_zero1_optimizer_sharding(mesh8):
+    """ZeRO-1: Adam moments shard over the data axis, update numerics are
+    identical to the replicated layout, and the step keeps them sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vfm_vae_tpu.parallel import shard_opt_state, zero1_sharding
+    from vfm_vae_tpu.train.optim import Adam
+
+    params = {
+        "w": jnp.ones((16, 8)),      # 16 % data-axis == 0 -> sharded on 0
+        "b": jnp.ones((3,)),         # 3 not divisible -> replicated
+    }
+    tx = Adam(lr=1e-2, betas=(0.9, 0.99))
+    opt = tx.init(params)
+    opt_sh = shard_opt_state(mesh8, opt)
+
+    n = mesh8.shape["data"]
+    sh_w = zero1_sharding(mesh8, params["w"])
+    assert sh_w.spec == P("data", None)
+    assert zero1_sharding(mesh8, params["b"]).spec == P()
+
+    grads = {"w": jnp.full((16, 8), 0.5), "b": jnp.full((3,), 0.25)}
+
+    @jax.jit
+    def step(opt, params):
+        upd, opt = tx.update(grads, opt, params)
+        import optax
+
+        return optax.apply_updates(params, upd), opt
+
+    with jax.sharding.set_mesh(mesh8):
+        p_ref, opt_ref = step(opt, params)
+        p_sh, opt_sh2 = step(opt_sh, params)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # moments stay sharded through the step
+    leaves = [x for x in jax.tree_util.tree_leaves(opt_sh2)
+              if hasattr(x, "sharding") and np.ndim(x) == 2]
+    # XLA normalizes trailing Nones: P("data", None) == P("data",) as a layout.
+    assert any(tuple(x.sharding.spec)[:1] == ("data",) for x in leaves), \
+        [getattr(x, "sharding", None) for x in leaves]

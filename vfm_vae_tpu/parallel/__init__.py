@@ -1,1 +1,2 @@
-from .mesh import make_mesh, batch_sharding, replicated, shard_batch, local_mesh
+from .mesh import (make_mesh, batch_sharding, replicated, shard_batch, local_mesh,
+                   zero1_sharding, shard_opt_state, zero1_state_shardings)

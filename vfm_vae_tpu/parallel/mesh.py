@@ -65,3 +65,51 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def zero1_sharding(mesh: Mesh, x) -> NamedSharding:
+    """ZeRO-1 layout for one optimizer-state leaf: shard the first axis
+    that divides the data-axis size, else replicate.
+
+    The reference replicates Adam moments on every rank (hand-rolled DDP);
+    sharding them over the data axis cuts per-chip optimizer memory by
+    (N-1)/N — on a 16 GB v5e the flagship's 2x-params fp32 Adam state is
+    what caps the per-chip training batch. Elementwise Adam math keeps the
+    sharded layout; XLA all-gathers only the parameter UPDATE (same bytes
+    as the DDP grad all-reduce it replaces)."""
+    n = mesh.shape[DATA_AXIS]
+    shape = np.shape(x)
+    for axis, dim in enumerate(shape):
+        if dim % n == 0 and dim >= n:
+            spec = [None] * len(shape)
+            spec[axis] = DATA_AXIS
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    """device_put every array leaf of an optimizer state with zero1_sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, zero1_sharding(mesh, x))
+        if hasattr(x, "shape") and np.ndim(x) > 0 else x,
+        opt_state,
+    )
+
+
+def zero1_state_shardings(mesh: Mesh, state):
+    """Output-sharding tree for a jitted train step over a TrainState:
+    params/EMA/buffers replicated, optimizer moments ZeRO-1 sharded.
+
+    Without this constraint GSPMD propagates the moment sharding into the
+    step's OTHER outputs (params/EMA come back tiled), and any eager use of
+    those arrays outside jit (image snapshots, in-loop metrics) fails to
+    convert the tiled HloSharding. Pinning outputs also makes the cost
+    model deterministic: the update all-gather happens inside the step."""
+    rep = NamedSharding(mesh, P())
+    sh = jax.tree_util.tree_map(lambda x: rep, state)
+    if mesh.shape[DATA_AXIS] > 1:
+        sh = sh.replace(
+            g_opt=jax.tree_util.tree_map(lambda x: zero1_sharding(mesh, x), state.g_opt),
+            d_opt=jax.tree_util.tree_map(lambda x: zero1_sharding(mesh, x), state.d_opt),
+        )
+    return sh

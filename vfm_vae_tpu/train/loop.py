@@ -217,6 +217,16 @@ def training_loop(
         loss_state=init_loss_state(),
         cur_nimg=jnp.asarray(resume_kimg * 1000, jnp.float32),
     )
+    # ZeRO-1: shard Adam moments over the data axis (params/EMA replicated;
+    # XLA all-gathers only the parameter update — frees 2x-params fp32 of
+    # per-chip HBM, the binding constraint at 256px on 16GB v5e).
+    from ..parallel import shard_opt_state
+
+    if mesh.shape.get("data", 1) > 1:
+        state = state.replace(
+            g_opt=shard_opt_state(mesh, state.g_opt),
+            d_opt=shard_opt_state(mesh, state.d_opt),
+        )
 
     # ------------------------------------------------------------ resume
     if resume_path:
@@ -235,11 +245,17 @@ def training_loop(
             loaded["d_params"] = template["d_params"]
             loaded["d_opt"] = template["d_opt"]
         state = flax.serialization.from_state_dict(state, loaded)
-        # Restored arrays land on one device; re-replicate over the mesh.
-        from ..parallel import replicated
+        # Restored arrays land on one device; re-replicate over the mesh,
+        # then re-shard the optimizer moments (ZeRO-1).
+        from ..parallel import replicated, shard_opt_state
 
         rep = replicated(mesh)
         state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        if mesh.shape.get("data", 1) > 1:
+            state = state.replace(
+                g_opt=shard_opt_state(mesh, state.g_opt),
+                d_opt=shard_opt_state(mesh, state.d_opt),
+            )
 
     eq_transform = EquivarianceTransform(
         apply=bool(lk.get("use_equivariance_regularization", False)),
@@ -254,8 +270,18 @@ def training_loop(
     stats_file = open(stats_path, "a") if stats_path else None
     collector = Collector()
 
-    d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
-    g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+    # Pin step outputs: params/EMA replicated, moments ZeRO-sharded (else
+    # GSPMD propagates the moment sharding into params and the eager
+    # snapshot/metric G.apply below chokes on the tiled layout).
+    from ..parallel import replicated, zero1_state_shardings
+
+    _out_sh = (zero1_state_shardings(mesh, state), replicated(mesh), replicated(mesh))
+
+    def _jit_step(fn):
+        return jax.jit(fn, static_argnames=("eq", "blur_sigma"), out_shardings=_out_sh)
+
+    d_step = _jit_step(trainer.d_step)
+    g_step = _jit_step(trainer.g_step)
     timer = PhaseTimer()
 
     # Warm-up FSM (reference loss.py:381-492); flag flips recompile the
@@ -314,8 +340,8 @@ def training_loop(
                 pix_v = float(pix[1] / max(pix[0], 1)) if pix is not None else 0.0
                 d_v = float(dgan[1] / max(dgan[0], 1)) if dgan is not None else 0.0
                 if warmup_fsm.update(pix_v, d_v, cur_nimg / 1000):
-                    d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
-                    g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+                    d_step = _jit_step(trainer.d_step)
+                    g_step = _jit_step(trainer.g_step)
             step_count += 1
             cur_nimg += images.shape[0]
 
