@@ -134,3 +134,39 @@ def test_int8_vfm_scope(tiny_siglip, tmp_path, monkeypatch):
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.99, cos
     assert not np.allclose(a, b)  # the int8 path actually ran
+
+
+def test_int8_prequant_matches_dynamic(tiny_siglip, tmp_path, monkeypatch):
+    """Pre-quantized weights (add_int8_collection) produce the SAME outputs
+    as the per-call dynamic path — the quantization formula is shared; only
+    where it runs differs (offline vs in-graph)."""
+    import jax
+
+    from vfm_vae_tpu.models.vfm import VFMEncoder
+    from vfm_vae_tpu.ops.quantized import add_int8_collection
+
+    cfg, model = tiny_siglip
+    d = tmp_path / "siglip2-tiny-patch8-32"
+    model.save_pretrained(d)
+
+    enc = VFMEncoder(model_name=str(d), scale_factor=1.0, patch_from_layers=[-1])
+    img = jnp.asarray(np.random.default_rng(1).random((2, 32, 32, 3)), jnp.float32)
+    v = enc.init({"params": jax.random.PRNGKey(0)}, img, method=enc.encode_image)
+
+    v8 = add_int8_collection(v, keys=("tower",))
+    assert "int8" in v8, list(v8["params"].keys())
+    # wq leaves are int8 and mirror Linear weight paths
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(v8["int8"])
+    assert any(p[-1] == "wq" for p in flat)
+    assert all(np.asarray(x).dtype == np.int8 for p, x in flat.items() if p[-1] == "wq")
+
+    monkeypatch.setenv("VFM_VAE_INT8_VFM", "1")
+    feats_dyn, _ = enc.apply(v, img, method=enc.encode_image)
+    feats_pre, _ = enc.apply(v8, img, method=enc.encode_image)
+    monkeypatch.delenv("VFM_VAE_INT8_VFM")
+
+    np.testing.assert_allclose(
+        np.asarray(feats_pre[-1]), np.asarray(feats_dyn[-1]), rtol=1e-6, atol=1e-6
+    )

@@ -284,12 +284,19 @@ class Linear(nn.Module):
 
         w = self.param("weight", self.kernel_init or default_init, (self.in_features, self.out_features))
         if _INT8_SCOPE[0]:
-            from ..ops.quantized import int8_linear
+            from ..ops.quantized import int8_linear, int8_linear_prequant
 
             b = (
                 self.param("bias", self.bias_init or default_init, (self.out_features,))
                 if self.use_bias else None
             )
+            if self.has_variable("int8", "wq"):
+                # Pre-quantized frozen weight (ops/quantized.py:
+                # add_int8_collection) — int8 weight reads, no per-call
+                # weight re-quantization.
+                wq = self.get_variable("int8", "wq")
+                ws = self.get_variable("int8", "ws")
+                return int8_linear_prequant(x, wq, ws, b)
             return int8_linear(x, w, b)
         y = x @ w.astype(x.dtype)
         if self.use_bias:

@@ -11,12 +11,16 @@ Intended for the FROZEN VFM encoder at serving time (reference freezes the
 tower: siglip2_utils.py:114-137), opt-in via VFM_VAE_INT8_VFM=1. Training
 and parity paths stay bf16/fp32.
 
-Status: EXPERIMENTAL. In-graph on the full SigLIP-L encoder the win is
-currently only ~2% (616 vs 627 ms at B96) — the per-Linear absmax reduce +
-quantize + int32->fp32 rescale passes are not fused into the dot by XLA the
-way the isolated microbenchmark suggested. Next steps (round 2): quantize
-once per block input, fold the rescale into the consumer, or a pallas
-int8-dot kernel with in-VMEM quantization.
+Two variants:
+  * int8_linear            — fully dynamic: weights AND activations are
+    quantized in-graph every call. Measured e2e win on the full SigLIP-L
+    encoder was only ~2% (616 vs 627 ms at B96): re-quantizing the frozen
+    weights per call reads the full fp32 weight + an absmax reduce + a
+    round pass, which eats the MXU win.
+  * int8_linear_prequant   — weights quantized ONCE offline
+    (prequantize_linears / add_int8_collection); the graph reads int8
+    weights (half the weight HBM traffic of bf16) and only quantizes the
+    activations dynamically. This is the serving path.
 """
 
 from __future__ import annotations
@@ -53,3 +57,64 @@ def int8_linear(
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def int8_linear_prequant(
+    x: jnp.ndarray,           # (..., K) float
+    wq: jnp.ndarray,          # (K, N) int8 (pre-quantized frozen weight)
+    ws: jnp.ndarray,          # (N,) fp32 per-output-channel scale
+    b: Optional[jnp.ndarray] = None,  # (N,)
+) -> jnp.ndarray:
+    """y = x @ (wq * ws) + b with the weight already int8 on HBM; only the
+    activation is quantized in-graph (per-token dynamic absmax)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    xq = jnp.round(xf / s).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s * ws
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def prequantize_linears(params_subtree):
+    """Int8 mirror of a params subtree: for every 2D 'weight' leaf produce
+    {'wq': int8 (K,N), 'ws': fp32 (N,)} at the same module path. Same
+    quantization formula as the dynamic path, so outputs are identical."""
+    import numpy as np
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params_subtree)
+    out = {}
+    for path, v in flat.items():
+        if path[-1] == "weight" and getattr(v, "ndim", 0) == 2:
+            wf = np.asarray(v, np.float32)
+            ws = np.maximum(np.abs(wf).max(axis=0) / 127.0, 1e-12)
+            # np.round == jnp.round (both half-to-even) -> bit-identical
+            # to quantizing in-graph.
+            wq = np.round(wf / ws[None, :]).astype(np.int8)
+            out[path[:-1] + ("wq",)] = jnp.asarray(wq)
+            out[path[:-1] + ("ws",)] = jnp.asarray(ws, jnp.float32)
+    return tu.unflatten_dict(out)
+
+
+def add_int8_collection(variables, keys=("vfm_encoder",)):
+    """Return `variables` with an 'int8' collection holding pre-quantized
+    weights for the given top-level param subtrees (default: the frozen VFM
+    tower). Linear layers pick these up when inside int8_linear_scope()."""
+    mirror = {}
+    for k in keys:
+        sub = variables["params"].get(k)
+        if sub is not None:
+            m = prequantize_linears(sub)
+            if m:
+                mirror[k] = m
+    if not mirror:
+        return variables
+    out = dict(variables)
+    out["int8"] = mirror
+    return out
