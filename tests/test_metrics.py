@@ -118,3 +118,107 @@ def test_clip_score_metric():
     f = np.eye(4, 8, dtype=np.float32)
     r = calc_metric("clip_score", image_features=f, text_features=f)
     np.testing.assert_allclose(r["results"]["clip_score"], 1.0)
+
+
+def _write_image_folder(root, n, res=32, seed=0):
+    import PIL.Image
+
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        arr = rng.integers(0, 256, (res, res, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(root / f"img{i:04d}.png")
+
+
+def test_fid_full_dataset_metric_and_cache(tmp_path):
+    """fid50k_full-style dataset metric: real side from an image folder with
+    md5 stat caching (reference metric_utils.py:208-240), gen side from
+    batches; identical distributions give ~0 FID."""
+    from vfm_vae_tpu.metrics.metric_main import calc_metric
+
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_image_folder(data, 24)
+
+    def detector(imgs):  # tiny deterministic embedding
+        x = np.asarray(imgs, np.float32) / 255.0
+        return x.reshape(x.shape[0], -1)[:, :16]
+
+    gen = [im for im in _dataset_iter(data)]
+    cache = tmp_path / "cache"
+    r = calc_metric(
+        "fid10k_full", detector_fn=detector, dataset_path=str(data),
+        gen_batches=iter(gen), cache_dir=str(cache),
+    )
+    assert abs(r["results"]["fid10k_full"]) < 1e-4
+    cached = list(cache.glob("dataset-stats-*.npz"))
+    assert len(cached) == 1
+    # second call must hit the cache (delete the folder to prove it)
+    r2 = calc_metric(
+        "fid10k_full", detector_fn=detector, dataset_path=str(data),
+        gen_batches=iter(gen), cache_dir=str(cache),
+    )
+    assert abs(r2["results"]["fid10k_full"]) < 1e-4
+
+
+def _dataset_iter(path):
+    from vfm_vae_tpu.data.zipfolder import ImageFolderDataset
+
+    ds = ImageFolderDataset(str(path))
+    for imgs, _ in ds.batches(8):
+        yield imgs
+
+
+def test_pr50k3_full_metric(tmp_path):
+    from vfm_vae_tpu.metrics.metric_main import calc_metric
+
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_image_folder(data, 20)
+
+    def detector(imgs):
+        x = np.asarray(imgs, np.float32) / 255.0
+        return x.reshape(x.shape[0], -1)[:, :8]
+
+    r = calc_metric(
+        "pr50k3_full", detector_fn=detector, dataset_path=str(data),
+        gen_batches=_dataset_iter(data),
+    )
+    # identical manifolds -> precision == recall == 1
+    assert r["results"]["pr50k3_full_precision"] == 1.0
+    assert r["results"]["pr50k3_full_recall"] == 1.0
+
+
+def test_coco_path_discovery(tmp_path, monkeypatch):
+    from vfm_vae_tpu.metrics.metric_main import get_coco_path
+
+    direct = tmp_path / "coco_val256.zip"
+    direct.write_bytes(b"")
+    assert get_coco_path(str(direct)) == str(direct)
+    other = tmp_path / "imagenet.zip"
+    other.write_bytes(b"")
+    assert get_coco_path(str(other)) == str(direct)  # sibling discovery
+    monkeypatch.setenv("COCOPATH", str(direct))
+    assert get_coco_path("/nonexistent/foo.zip") == str(direct)
+    monkeypatch.setenv("COCOPATH", "/nope/bar.zip")
+    with pytest.raises(ValueError):
+        get_coco_path("/nonexistent/foo.zip")
+
+
+def test_cs10k_metric():
+    from vfm_vae_tpu.metrics.metric_main import calc_metric
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (4, 8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    feats = {}
+
+    def clip_image_fn(batch):
+        return np.tile(np.array([[1.0, 0.0]]), (len(batch), 1))
+
+    def clip_text_fn(texts):
+        return np.tile(np.array([[1.0, 0.0]]), (len(texts), 1))
+
+    r = calc_metric(
+        "cs10k", clip_image_fn=clip_image_fn, clip_text_fn=clip_text_fn,
+        gen_batches=iter(imgs), texts=iter(["a"] * 8),
+    )
+    np.testing.assert_allclose(r["results"]["cs"], 1.0)

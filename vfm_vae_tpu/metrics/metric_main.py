@@ -101,3 +101,175 @@ def clip_score(image_features=None, text_features=None, **_):
 
     sim = np.sum(np.asarray(image_features) * np.asarray(text_features), axis=-1)
     return {"clip_score": float(sim.mean())}
+
+
+# ------------------------------------------------- dataset-level metrics
+# Name-parity entry points matching the reference registry
+# (metrics/metric_main.py:118-185): fid50k_full / fid10k_full / cs10k /
+# pr50k3_full + the zero-shot COCO variants. Real-side features come from an
+# ImageFolderDataset (dir or zip) with md5-keyed stat caching mirroring
+# metric_utils.py:208-240; generated-side features come from `gen_batches`
+# (any iterable of NHWC image batches, e.g. decoded samples).
+
+
+def get_coco_path(original_path: str) -> str:
+    """COCO val set discovery (reference: metrics/metric_main.py:100-116):
+    the dataset itself, a sibling coco_val256.zip, or $COCOPATH."""
+    stem = os.path.splitext(os.path.basename(original_path))[0]
+    if stem == "coco_val256":
+        return original_path
+    sibling = os.path.join(os.path.dirname(original_path), "coco_val256.zip")
+    if os.path.exists(sibling):
+        return sibling
+    path = os.environ.get("COCOPATH", "")
+    if os.path.splitext(os.path.basename(path))[0] == "coco_val256":
+        return path
+    raise ValueError(f"Did not find coco_val256. $COCOPATH: {path}")
+
+
+def _dataset_batches(dataset_path, resolution=None, max_items=None, batch_size=64):
+    from ..data.zipfolder import ImageFolderDataset
+
+    ds = ImageFolderDataset(dataset_path, resolution=resolution, max_size=max_items)
+    for imgs, _ in ds.batches(batch_size):
+        yield imgs
+
+
+def dataset_feature_stats(
+    detector_fn,
+    dataset_path,
+    resolution=None,
+    max_items=None,
+    capture_all=False,
+    cache_dir=None,
+    detector_tag="inception_v3",
+):
+    """Real-side FeatureStats with on-disk caching keyed by the md5 of the
+    spec tuple (reference: metric_utils.py:208-240 dataset-stat cache)."""
+    import hashlib
+
+    from .fid import accumulate_features
+
+    cache_file = None
+    if cache_dir is not None:
+        spec = repr((os.path.abspath(dataset_path), resolution, max_items,
+                     capture_all, detector_tag))
+        key = hashlib.md5(spec.encode()).hexdigest()
+        cache_file = os.path.join(cache_dir, f"dataset-stats-{key}.npz")
+        if os.path.isfile(cache_file):
+            from .feature_stats import FeatureStats
+
+            return FeatureStats.load(cache_file)
+    stats = accumulate_features(
+        detector_fn,
+        _dataset_batches(dataset_path, resolution=resolution, max_items=max_items),
+        capture_all=capture_all,
+        max_items=max_items,
+    )
+    if cache_file is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        stats.save(cache_file)
+    return stats
+
+
+def _fid_vs_dataset(detector_fn, dataset_path, gen_batches, num_gen,
+                    resolution=None, max_real=None, cache_dir=None):
+    from .fid import accumulate_features, compute_fid_from_stats
+
+    real = dataset_feature_stats(
+        detector_fn, dataset_path, resolution=resolution, max_items=max_real,
+        cache_dir=cache_dir,
+    )
+    gen = accumulate_features(detector_fn, gen_batches, max_items=num_gen)
+    return compute_fid_from_stats(real, gen)
+
+
+@register_metric
+def fid50k_full(detector_fn=None, dataset_path=None, gen_batches=None,
+                cache_dir=None, **_):
+    fid = _fid_vs_dataset(detector_fn, dataset_path, gen_batches,
+                          num_gen=50000, cache_dir=cache_dir)
+    return dict(fid50k_full=fid)
+
+
+@register_metric
+def fid10k_full(detector_fn=None, dataset_path=None, gen_batches=None,
+                cache_dir=None, **_):
+    fid = _fid_vs_dataset(detector_fn, dataset_path, gen_batches,
+                          num_gen=10000, cache_dir=cache_dir)
+    return dict(fid10k_full=fid)
+
+
+@register_metric
+def pr50k3_full(detector_fn=None, dataset_path=None, gen_batches=None,
+                cache_dir=None, **_):
+    """Kynkäänniemi P&R, max_real=200k / num_gen=50k / nhood 3
+    (reference: metrics/metric_main.py:146-151)."""
+    from .fid import accumulate_features
+    from .precision_recall import compute_pr
+
+    real = dataset_feature_stats(
+        detector_fn, dataset_path, max_items=200000, capture_all=True,
+        cache_dir=cache_dir, detector_tag="inception_v3_raw",
+    )
+    gen = accumulate_features(detector_fn, gen_batches, capture_all=True,
+                              max_items=50000)
+    precision, recall = compute_pr(real.get_all(), gen.get_all(), nhood_size=3)
+    return dict(pr50k3_full_precision=precision, pr50k3_full_recall=recall)
+
+
+def _clip_score_over_batches(clip_image_fn, clip_text_fn, gen_batches,
+                             texts, num_gen):
+    """cs = mean cosine of CLIP(image, text) over generated samples
+    (reference: metrics/clip_score.py:20-47)."""
+    import numpy as np
+
+    sims, seen = [], 0
+    text_iter = iter(texts)
+    for imgs in gen_batches:
+        if seen >= num_gen:
+            break
+        imgs = imgs[: num_gen - seen]
+        batch_texts = [next(text_iter) for _ in range(len(imgs))]
+        img_f = np.asarray(clip_image_fn(imgs))
+        txt_f = np.asarray(clip_text_fn(batch_texts))
+        img_f = img_f / np.linalg.norm(img_f, axis=-1, keepdims=True)
+        txt_f = txt_f / np.linalg.norm(txt_f, axis=-1, keepdims=True)
+        sims.append(np.sum(img_f * txt_f, axis=-1))
+        seen += len(imgs)
+    return float(np.concatenate(sims).mean())
+
+
+@register_metric
+def cs10k(clip_image_fn=None, clip_text_fn=None, gen_batches=None,
+          texts=None, **_):
+    cs = _clip_score_over_batches(clip_image_fn, clip_text_fn, gen_batches,
+                                  texts, num_gen=10000)
+    return dict(cs=cs)
+
+
+@register_metric
+def fid30k_coco64(detector_fn=None, dataset_path=None, gen_batches=None,
+                  cache_dir=None, **_):
+    coco = get_coco_path(dataset_path)
+    fid = _fid_vs_dataset(detector_fn, coco, gen_batches, num_gen=30000,
+                          resolution=64, cache_dir=cache_dir)
+    return dict(fid30k_full_coco_val=fid)
+
+
+@register_metric
+def fid30k_coco256(detector_fn=None, dataset_path=None, gen_batches=None,
+                   cache_dir=None, **_):
+    coco = get_coco_path(dataset_path)
+    fid = _fid_vs_dataset(detector_fn, coco, gen_batches, num_gen=30000,
+                          resolution=256, cache_dir=cache_dir)
+    return dict(fid30k_full_coco_val=fid)
+
+
+@register_metric
+def cs10k_coco(clip_image_fn=None, clip_text_fn=None, gen_batches=None,
+               texts=None, dataset_path=None, **_):
+    get_coco_path(dataset_path)  # same existence check as the reference
+    cs = _clip_score_over_batches(clip_image_fn, clip_text_fn, gen_batches,
+                                  texts, num_gen=30000)
+    return dict(cs=cs)
