@@ -116,3 +116,30 @@ def test_training_loop_resumes(tiny_env, mesh8):
         mesh=mesh8, max_steps=1, resume_path=path, resume_kimg=kimg, **cfg
     )
     assert np.isfinite(float(state.cur_nimg))
+
+
+def test_wandb_sink_inert_without_wandb(tmp_path):
+    """WandbSink must be a no-op when wandb is absent or names unset
+    (reference: training_loop.py:656-670 inits only when both are set)."""
+    from vfm_vae_tpu.core.wandb_sink import WandbSink
+
+    s = WandbSink(None, None, str(tmp_path))
+    assert not s.active
+    s.log({"a": 1.0}, step=0)
+    s.log_metrics({"fid": 2.0}, step=0)
+    s.finish()
+    # project+name set but package missing -> warns once, stays inert
+    s2 = WandbSink("proj", "run", str(tmp_path))
+    assert not s2.active
+    s2.log({"a": 1.0}, step=1)
+    s2.finish()
+
+
+def test_stage_configs_carry_wandb_keys():
+    import glob
+    import yaml
+
+    for f in glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                    "configs", "*stage*.yaml")):
+        cfg = yaml.safe_load(open(f))
+        assert "wandb_project_name" in cfg and "wandb_run_name" in cfg, f

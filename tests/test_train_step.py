@@ -231,3 +231,86 @@ def test_zero1_optimizer_sharding(mesh8):
     # XLA normalizes trailing Nones: P("data", None) == P("data",) as a layout.
     assert any(tuple(x.sharding.spec)[:1] == ("data",) for x in leaves), \
         [getattr(x, "sharding", None) for x in leaves]
+
+
+def test_fused_step(rig, mesh8):
+    """Fused simultaneous D+G step: one generator forward feeds both
+    branches; both param sets update, frozen towers stay frozen, and the
+    stats dict carries both Loss/G/* and Loss/D/* names."""
+    from vfm_vae_tpu.parallel import shard_batch
+    import flax.traverse_util as tu
+
+    trainer, state, mask = rig
+    rng = jax.random.PRNGKey(11)
+    real = np.random.default_rng(2).random((8, 32, 32, 3)).astype(np.float32)
+
+    with jax.sharding.set_mesh(mesh8):
+        real_sh = shard_batch(mesh8, jnp.asarray(real))
+        fused = jax.jit(trainer.fused_step, static_argnames=("eq", "blur_sigma"))
+        state1, stats, total = fused(state, real_sh, None, rng, (1.0, 0, False))
+        assert np.isfinite(float(total))
+        assert float(state1.cur_nimg) == 8
+
+    # both G and D trained, frozen towers untouched
+    g0 = tu.flatten_dict(state.g_params, sep="/")
+    g1 = tu.flatten_dict(state1.g_params, sep="/")
+    m = tu.flatten_dict(mask, sep="/")
+    g_changed = [k for k in g0 if np.any(np.asarray(g0[k]) != np.asarray(g1[k]))]
+    assert any(k.startswith("synthesis/") for k in g_changed)
+    assert not any(k.startswith("vfm_encoder/") for k in g_changed)
+    for k in g_changed:
+        assert m[k], f"frozen G param {k} changed"
+
+    d0 = tu.flatten_dict(state.d_params, sep="/")
+    d1 = tu.flatten_dict(state1.d_params, sep="/")
+    d_changed = [k for k in d0 if np.any(np.asarray(d0[k]) != np.asarray(d1[k]))]
+    assert d_changed, "D did not train in fused step"
+    assert not any(k.startswith("dino/") for k in d_changed)
+
+    assert "Loss/G/l1_pixel_loss" in stats
+    assert "Loss/D/stylegan_t/loss" in stats
+    assert "Loss/G/vf_loss" in stats
+
+
+def test_d_loss_from_gen_matches_d_loss(rig, mesh8):
+    """d_loss == d_loss_from_gen when handed the same generated image
+    (refactor guard for the shared-forward path)."""
+    trainer, state, _ = rig
+    loss = trainer.loss
+    real = jnp.asarray(
+        np.random.default_rng(3).random((4, 32, 32, 3)), jnp.float32
+    )
+    keys = ["sample", "d_gen", "d_real", "shuffle", "d_gen_s", "d_real_s"]
+    rngs = dict(zip(keys, jax.random.split(jax.random.PRNGKey(5), 6)))
+    eq = (1.0, 0, False)
+
+    t1, aux1 = loss.d_loss(
+        state.d_params, state.g_params, state.g_bufs, state.d_bufs,
+        real, None, rngs, eq, state.cur_nimg,
+    )
+    gen_out, _ = loss.G.apply(
+        {"params": state.g_params, "buffers": state.g_bufs},
+        real, None, rng=rngs["sample"], eq=eq, train=True, mutable=["buffers"],
+    )
+    t2, aux2 = loss.d_loss_from_gen(
+        state.d_params, state.d_bufs, gen_out.gen_img, real, None, rngs, eq,
+        state.cur_nimg,
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+
+def test_adam_mask_freezes_exactly():
+    """Masked-out leaves must receive a ZERO update. optax.masked alone
+    passes the raw gradient through as the update (gradient ascent at
+    lr=1 on the 'frozen' DINO tower) — regression guard for that bug."""
+    import optax
+    from vfm_vae_tpu.train.optim import Adam
+
+    params = {"train": jnp.ones(3), "frozen": jnp.ones(3)}
+    grads = {"train": jnp.full(3, 0.5), "frozen": jnp.full(3, 0.5)}
+    tx = Adam(1e-2, mask={"train": True, "frozen": False})
+    st = tx.init(params)
+    up, _ = tx.update(grads, st, params)
+    new = optax.apply_updates(params, up)
+    np.testing.assert_array_equal(np.asarray(new["frozen"]), np.ones(3))
+    assert np.all(np.asarray(new["train"]) != 1.0)

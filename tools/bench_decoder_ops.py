@@ -145,7 +145,20 @@ def main():
         x = jnp.asarray(rng.normal(size=(B, res, res, cin)), jnp.bfloat16)
         m = SeparableUpsampleWithFixedBlur(cin, cout, blur_kernel=blur)
         v = jax.jit(lambda r: m.init({"params": r}, x))(jax.random.PRNGKey(0))
-        dt = timed(lambda vv, xx: m.apply(vv, xx), (v, x), args.iters) * 1e3 / B
+        # time_op needs carry-shape stability: pad channels back to cin and
+        # stride-slice the doubled resolution (both negligible next to the
+        # op). Per-call timed() here would be ~35ms RPC overhead per call,
+        # i.e. +0.4 ms/img of pure tunnel noise at B96.
+        pad_c = cin - cout
+
+        def roundtrip(xx, m=m, v=v, pad_c=pad_c):
+            y = m.apply(v, xx)  # (B, 2r, 2r, cout)
+            y = y[:, ::2, ::2, :]
+            if pad_c:
+                y = jnp.concatenate([y, y[..., :pad_c]], axis=-1)
+            return y
+
+        dt = time_op(roundtrip, x) * 1e3 / B
         print(f"  {res}->{res * 2} {cin}->{cout}: {dt:7.4f} ms/img", flush=True)
 
     print("\n-- SelfAttentionBlock --")

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Encoder-only A/B: bf16 vs pre-quantized W8A8 int8 serving path.
+
+Times just the two encode jits (no decode / roundtrip / AOT cost analysis,
+which make bench_stages.py a >10-min compile marathon through the tunnel).
+
+  python tools/bench_int8.py [--batch 96] [--iters 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, args, iters):
+    import jax.numpy as jnp
+
+    float(jnp.sum(fn(*args)))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(jnp.sum(fn(*args)))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import flagship_generator
+    from vfm_vae_tpu.models.layers import int8_linear_scope
+    from vfm_vae_tpu.ops.quantized import add_int8_collection
+
+    G = flagship_generator()
+    B = args.batch
+    img = jnp.asarray(
+        np.random.default_rng(0).random((B, 256, 256, 3)), jnp.float32
+    )
+    variables = jax.jit(lambda r: G.init({"params": r}, img[:2], train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    def encode(v, x):
+        return G.apply(v, x, rng=None, method=G.encode)
+
+    def encode_int8(v, x):
+        with int8_linear_scope(True):
+            return G.apply(v, x, rng=None, method=G.encode)
+
+    enc = jax.jit(encode)
+    dt = timed(enc, (variables, img), args.iters)
+    print(f"enc-bf16 : {dt * 1e3 / B:7.3f} ms/img  {B / dt:8.1f} img/s", flush=True)
+
+    v8 = add_int8_collection(variables)
+    enc8 = jax.jit(encode_int8)
+    dt8 = timed(enc8, (v8, img), args.iters)
+    print(f"enc-i8pre: {dt8 * 1e3 / B:7.3f} ms/img  {B / dt8:8.1f} img/s "
+          f"({dt / dt8:.2f}x)", flush=True)
+
+    # numerical delta of the serving path on the same input
+    z = enc(variables, img[:8])
+    z8 = enc8(v8, img[:8])
+    err = float(jnp.mean(jnp.abs(z - z8)) / (jnp.mean(jnp.abs(z)) + 1e-12))
+    print(f"latent rel-L1 bf16 vs int8: {err:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="simultaneous D+G step sharing one G forward")
     args = ap.parse_args()
 
     import numpy as np
@@ -79,6 +81,22 @@ def main():
     )
     real = jnp.asarray(np.random.default_rng(0).random((B, 256, 256, 3)), jnp.float32)
     rng = jax.random.PRNGKey(0)
+
+    if args.fused:
+        fused = jax.jit(trainer.fused_step, static_argnames=("eq", "blur_sigma"))
+        t0 = time.perf_counter()
+        state, _, total = fused(state, real, None, rng, (1.0, 0, False))
+        print(f"fused_step compile+run {time.perf_counter() - t0:.1f}s "
+              f"loss={float(total):.4f}", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, _, total = fused(state, real, None, rng, (1.0, 0, False))
+        _ = float(total)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"train step (fused D+G) B{B}: {dt * 1000:.1f} ms -> "
+              f"{B / dt:.2f} img/s/chip (finite: {np.isfinite(float(total))})")
+        return
+
     d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
     g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
 

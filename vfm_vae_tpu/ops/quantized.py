@@ -21,6 +21,16 @@ Two variants:
     (prequantize_linears / add_int8_collection); the graph reads int8
     weights (half the weight HBM traffic of bf16) and only quantizes the
     activations dynamically. This is the serving path.
+
+MEASURED VERDICT (v5e, tools/bench_int8.py, SigLIP2-L encoder @512px B96):
+bf16 6.49 ms/img vs prequant-int8 7.39 ms/img — int8 is 0.88x, a net LOSS
+end-to-end even with weights pre-quantized (latent rel-L1 drift 1.6%). The
+per-token absmax reduce + round before every matmul breaks XLA's
+layernorm->matmul fusions, which at batch-1024-token ViT shapes costs more
+than the 2x MXU rate buys back. Kept as an opt-in experiment
+(VFM_VAE_INT8_VFM=1); bf16 stays the serving default. A fused Pallas
+quantize-matmul (absmax in the same kernel as the dot) is the only way the
+2x materializes — candidate future work.
 """
 
 from __future__ import annotations

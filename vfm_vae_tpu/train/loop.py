@@ -76,6 +76,9 @@ def training_loop(
     data_workers: int = 3,
     mesh=None,
     compute_dtype: str = "bfloat16",
+    wandb_project_name: Optional[str] = None,
+    wandb_run_name: Optional[str] = None,
+    fused_phases: bool = False,
     **unused_kwargs,
 ):
     from ..core.registry import construct_class_by_name, get_class_by_name
@@ -269,6 +272,22 @@ def training_loop(
     stats_path = os.path.join(run_dir, "stats.jsonl") if rank == 0 else None
     stats_file = open(stats_path, "a") if stats_path else None
     collector = Collector()
+    from ..core.wandb_sink import WandbSink
+
+    wandb_sink = WandbSink(
+        wandb_project_name,
+        wandb_run_name,
+        run_dir,
+        config={
+            "batch_size_per_process": batch_size // num_processes,
+            "accumulation_steps": accumulate_gradients,
+            "process_count": num_processes,
+            "lr of G": G_opt_kwargs.get("lr"),
+            "lr of D": D_opt_kwargs.get("lr"),
+            "total_kimg": total_kimg,
+        },
+        enabled=rank == 0,
+    )
 
     # Pin step outputs: params/EMA replicated, moments ZeRO-sharded (else
     # GSPMD propagates the moment sharding into params and the eager
@@ -280,8 +299,10 @@ def training_loop(
     def _jit_step(fn):
         return jax.jit(fn, static_argnames=("eq", "blur_sigma"), out_shardings=_out_sh)
 
-    d_step = _jit_step(trainer.d_step)
-    g_step = _jit_step(trainer.g_step)
+    # fused_phases: one jitted simultaneous D+G update sharing the generator
+    # forward (train_step.fused_step) instead of the sequential [D, G] pair.
+    d_step = None if fused_phases else _jit_step(trainer.d_step)
+    g_step = _jit_step(trainer.fused_step if fused_phases else trainer.g_step)
     timer = PhaseTimer()
 
     # Warm-up FSM (reference loss.py:381-492); flag flips recompile the
@@ -324,14 +345,21 @@ def training_loop(
                 first_batch_saved = True
 
             host_rng, r1, r2 = jax.random.split(host_rng, 3)
-            eq_d = eq_transform(np_rng)
-            with timer.phase("Timing/D"):
-                state, d_stats, d_total = d_step(state, real, real_c, r1, eq_d)
-                jax.block_until_ready(d_total)
-            eq_g = eq_transform(np_rng)
-            with timer.phase("Timing/G"):
-                state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
-                jax.block_until_ready(g_total)
+            if fused_phases:
+                eq_g = eq_transform(np_rng)
+                with timer.phase("Timing/G"):
+                    state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
+                    jax.block_until_ready(g_total)
+                d_stats = {}
+            else:
+                eq_d = eq_transform(np_rng)
+                with timer.phase("Timing/D"):
+                    state, d_stats, d_total = d_step(state, real, real_c, r1, eq_d)
+                    jax.block_until_ready(d_total)
+                eq_g = eq_transform(np_rng)
+                with timer.phase("Timing/G"):
+                    state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
+                    jax.block_until_ready(g_total)
 
             if warmup_fsm.active:
                 # Host sync only while a warm-up is pending.
@@ -340,8 +368,10 @@ def training_loop(
                 pix_v = float(pix[1] / max(pix[0], 1)) if pix is not None else 0.0
                 d_v = float(dgan[1] / max(dgan[0], 1)) if dgan is not None else 0.0
                 if warmup_fsm.update(pix_v, d_v, cur_nimg / 1000):
-                    d_step = _jit_step(trainer.d_step)
-                    g_step = _jit_step(trainer.g_step)
+                    d_step = None if fused_phases else _jit_step(trainer.d_step)
+                    g_step = _jit_step(
+                        trainer.fused_step if fused_phases else trainer.g_step
+                    )
             step_count += 1
             cur_nimg += images.shape[0]
 
@@ -391,6 +421,7 @@ def training_loop(
                 )
                 stats_file.write(json.dumps(entry) + "\n")
                 stats_file.flush()
+                wandb_sink.log(entry, step=int(cur_nimg / 1e3))
             collector.reset()
 
             snap_path = None
@@ -452,6 +483,7 @@ def training_loop(
                         lpips_module=lpips_module, lpips_params=lpips_params,
                     )
                     metric_main.report_metric(res, run_dir=run_dir, snapshot_pkl=snap_path)
+                    wandb_sink.log_metrics(res["results"], step=int(cur_nimg / 1e3))
 
             if rank == 0 and image_snapshot_ticks and (
                 cur_tick % image_snapshot_ticks == 0 or done
@@ -483,5 +515,6 @@ def training_loop(
 
     if stats_file is not None:
         stats_file.close()
+    wandb_sink.finish()
     print0(f"Done. Total time: {format_time(time.time() - start_time)}")
     return state

@@ -522,14 +522,32 @@ class TotalLoss:
         blur_sigma: float = 0.0,
     ):
         """Scalar D loss + aux. G runs under stop_gradient (loss.py:563-570)."""
-        stats: Dict[str, jnp.ndarray] = {}
         gen_out, _ = self.G.apply(
             {"params": g_params, "buffers": g_bufs},
             real_img, real_c, rng=rngs.get("sample"), eq=eq, train=True,
             mutable=["buffers"],
         )
-        gen_img = jax.lax.stop_gradient(gen_out.gen_img)
+        return self.d_loss_from_gen(
+            d_params, d_bufs, gen_out.gen_img, real_img, real_c, rngs, eq,
+            cur_nimg, blur_sigma,
+        )
 
+    def d_loss_from_gen(
+        self,
+        d_params,
+        d_bufs,
+        gen_img,
+        real_img,
+        real_c,
+        rngs: Dict[str, jax.Array],
+        eq: Tuple[float, int, bool],
+        cur_nimg,
+        blur_sigma: float = 0.0,
+    ):
+        """D loss given an already-generated image (fused-phase path: the
+        G forward is shared with g_terms instead of recomputed)."""
+        stats: Dict[str, jnp.ndarray] = {}
+        gen_img = jax.lax.stop_gradient(gen_img)
         d_bufs_run = d_bufs
         gen_d, d_bufs_run = self.run_D(
             d_params, d_bufs_run, gen_img, real_c, rngs.get("d_gen"), blur_sigma, True

@@ -13,10 +13,19 @@ import optax
 
 def Adam(lr: float = 1e-4, betas=(0.0, 0.99), eps: float = 1e-8, mask=None):
     """torch-Adam-equivalent (optax.adam shares the bias-corrected update
-    rule); `mask` is a bool pytree — False leaves are frozen."""
+    rule); `mask` is a bool pytree — False leaves are frozen.
+
+    NB: optax.masked alone is NOT freezing — masked-out leaves keep their
+    incoming update (the raw gradient), which apply_updates would then ADD
+    to the frozen params. The second masked(set_to_zero) stage zeroes them.
+    """
     tx = optax.adam(learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps)
     if mask is not None:
-        tx = optax.masked(tx, mask)
+        inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+        tx = optax.chain(
+            optax.masked(tx, mask),
+            optax.masked(optax.set_to_zero(), inv_mask),
+        )
     return tx
 
 

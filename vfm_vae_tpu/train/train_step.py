@@ -195,7 +195,7 @@ class Trainer:
         tstats.report(stats, "Loss/G/cur_vf_loss_weight", cur_vf_w)
 
         total = jnp.sum(weights * jnp.stack(terms))
-        return grads, aux["g_bufs"], aux["d_bufs"], new_loss_state, stats, total
+        return grads, aux["g_bufs"], aux["d_bufs"], new_loss_state, stats, total, aux["gen_img"]
 
     def g_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
         n_acc = self.num_accumulation
@@ -208,7 +208,7 @@ class Trainer:
         stats_all: Dict[str, jnp.ndarray] = {}
         total = 0.0
         for mb in range(n_acc):
-            grads, g_bufs, d_bufs, loss_state, stats, t = self._g_microbatch(
+            grads, g_bufs, d_bufs, loss_state, stats, t, _ = self._g_microbatch(
                 state.g_params, state, imgs[mb], cs[mb], sub_rngs[mb], eq,
                 blur_sigma, g_bufs, d_bufs, loss_state,
             )
@@ -243,3 +243,101 @@ class Trainer:
             cur_nimg=state.cur_nimg + real_img.shape[0],
         )
         return new_state, stats_all, total / n_acc
+
+    # ------------------------------------------------------- fused D+G step
+
+    def fused_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
+        """Simultaneous D+G update sharing ONE generator forward per
+        microbatch (SURVEY §7: the D phase re-runs G under stop_gradient —
+        on TPU the two phases fuse into one jit and the second frozen-ViT +
+        decoder forward disappears).
+
+        Semantic deltas vs the sequential [D, G] recipe
+        (training_loop.py:622-628), both standard simultaneous-GAN-update
+        behavior: (1) the G adversarial terms see the pre-update D; (2) both
+        branches critique the same generated sample; (3) spectral-norm power
+        iterations advance once (D branch) instead of twice. Opt-in via
+        `fused_phases: true`.
+        """
+        n_acc = self.num_accumulation
+        imgs = _microbatches(real_img, n_acc)
+        cs = _microbatches(real_c, n_acc)
+        sub_rngs = jax.random.split(rng, n_acc)
+
+        g_grads_sum = None
+        d_grads_sum = None
+        g_bufs, loss_state = state.g_bufs, state.loss_state
+        d_bufs0 = state.d_bufs
+        d_bufs = d_bufs0
+        stats_all: Dict[str, jnp.ndarray] = {}
+        g_total = 0.0
+        d_total_sum = 0.0
+        for mb in range(n_acc):
+            rg, rd = jax.random.split(sub_rngs[mb])
+
+            # G branch: one vjp'd forward; also yields the generated image.
+            g_grads, g_bufs, _, loss_state, g_stats, gt, gen_img = self._g_microbatch(
+                state.g_params, state, imgs[mb], cs[mb], rg, eq,
+                blur_sigma, g_bufs, d_bufs0, loss_state,
+            )
+            g_grads_sum = g_grads if g_grads_sum is None else _tree_add(g_grads_sum, g_grads)
+            stats_all = tstats.merge(stats_all, g_stats)
+            g_total = g_total + gt
+
+            # D branch: reuses gen_img instead of a second G forward.
+            d_rngs = dict(
+                zip(
+                    ["d_gen", "d_real", "shuffle", "d_gen_s", "d_real_s"],
+                    jax.random.split(rd, 5),
+                )
+            )
+
+            def fd(d_params, img=imgs[mb], c=cs[mb], rngs=d_rngs, gen=gen_img,
+                   bufs=d_bufs):
+                return self.loss.d_loss_from_gen(
+                    d_params, bufs, gen, img, c, rngs, eq,
+                    state.cur_nimg, blur_sigma,
+                )
+
+            (d_total, d_aux), d_grads = jax.value_and_grad(fd, has_aux=True)(state.d_params)
+            skip = d_aux["skip"]
+            d_grads = jax.tree_util.tree_map(
+                lambda g: g * (1.0 - skip.astype(g.dtype)), d_grads
+            )
+            d_grads_sum = d_grads if d_grads_sum is None else _tree_add(d_grads_sum, d_grads)
+            d_bufs = d_aux["d_bufs"]
+            stats_all = tstats.merge(stats_all, d_aux["stats"])
+            d_total_sum = d_total_sum + d_total
+
+        d_grads_sum = clean_grads(d_grads_sum)
+        d_updates, new_d_opt = self.d_tx.update(d_grads_sum, state.d_opt, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        g_grads_sum = clean_grads(g_grads_sum)
+        g_updates, new_g_opt = self.g_tx.update(g_grads_sum, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        ema_nimg = self.ema_kimg * 1000.0
+        if self.ema_rampup is not None:
+            ema_nimg = jnp.minimum(ema_nimg, state.cur_nimg * self.ema_rampup)
+        beta = 0.5 ** (self.batch_size / jnp.maximum(ema_nimg, 1e-8))
+        if self.g_trainable_mask is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p, m: e * beta + p * (1.0 - beta) if m else p,
+                state.ema_params, new_g_params, self.g_trainable_mask,
+            )
+        else:
+            new_ema = ema_update(state.ema_params, new_g_params, beta)
+
+        new_state = state.replace(
+            g_params=new_g_params,
+            d_params=new_d_params,
+            g_opt=new_g_opt,
+            d_opt=new_d_opt,
+            g_bufs=g_bufs,
+            d_bufs=d_bufs,
+            ema_params=new_ema,
+            loss_state=loss_state,
+            cur_nimg=state.cur_nimg + real_img.shape[0],
+        )
+        return new_state, stats_all, (d_total_sum + g_total) / n_acc
