@@ -12,7 +12,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, dot_product_attention_nullkv
 from .layers import ChannelRMSNorm, Conv2d, Linear, RMSNorm
 
 
@@ -37,27 +37,33 @@ class SelfAttention(nn.Module):
         inner = h * d
 
         fmap = ChannelRMSNorm(self.dim, name="norm")(fmap)
-        q = Conv2d(self.dim, inner, 1, use_bias=False, name="to_q")(fmap)
-        k = Conv2d(self.dim, inner, 1, use_bias=False, name="to_k")(fmap)
-        v = Conv2d(self.dim, inner, 1, use_bias=False, name="to_v")(fmap)
+        # The reference's three 1x1 convs are one (C -> 3*inner) matmul on
+        # flattened tokens here: a single MXU pass over the feature map
+        # instead of three NHWC conv dispatches (parameters stay the
+        # reference's separate to_q/to_k/to_v 1x1 kernels).
+        qw, _ = Conv2d(self.dim, inner, 1, use_bias=False, name="to_q")(
+            None, return_params=True)
+        kw, _ = Conv2d(self.dim, inner, 1, use_bias=False, name="to_k")(
+            None, return_params=True)
+        vw, _ = Conv2d(self.dim, inner, 1, use_bias=False, name="to_v")(
+            None, return_params=True)
+        wqkv = jnp.concatenate(
+            [qw[0, 0], kw[0, 0], vw[0, 0]], axis=1).astype(fmap.dtype)
+        tokens = fmap.reshape(B, H * W, self.dim)
+        qkv = tokens @ wqkv  # (B, T, 3*inner)
+        q, k, v = (t.reshape(B, H * W, h, d) for t in jnp.split(qkv, 3, axis=-1))
 
-        # (B, T, N, H) token layout for SDPA.
-        def tok(t):
-            return t.reshape(B, H * W, h, d)
-
-        q, k, v = tok(q), tok(k), tok(v)
         null_kv = self.param("null_kv", _randn_init(0.02), (2, h, d))
         nk = jnp.broadcast_to(null_kv[0][None, None], (B, 1, h, d)).astype(k.dtype)
         nv = jnp.broadcast_to(null_kv[1][None, None], (B, 1, h, d)).astype(v.dtype)
-        k = jnp.concatenate([nk, k], axis=1)
-        v = jnp.concatenate([nv, v], axis=1)
 
-        out = dot_product_attention(q, k, v)
-        out = out.reshape(B, H, W, inner)
-        return Conv2d(
+        out = dot_product_attention_nullkv(q, k, v, nk, nv)
+        out = out.reshape(B, H * W, inner)
+        ow, _ = Conv2d(
             inner, self.dim, 1, use_bias=False,
             kernel_init=nn.initializers.zeros, name="to_out",
-        )(out)
+        )(None, return_params=True)
+        return (out @ ow[0, 0].astype(out.dtype)).reshape(B, H, W, self.dim)
 
 
 class CrossAttention(nn.Module):
@@ -115,11 +121,18 @@ class FeedForwardChannelFirst(nn.Module):
         import jax
 
         hidden = int(self.dim * self.mult)
+        B, H, W, _ = x.shape
         x = ChannelRMSNorm(self.dim, name="norm")(x)
-        x = Conv2d(self.dim, hidden, 1, name="proj1")(x)
-        x = jax.nn.gelu(x, approximate=False)
-        x = Conv2d(hidden, self.dim, 1, kernel_init=nn.initializers.zeros, name="proj2")(x)
-        return x
+        # 1x1 convs as token matmuls (one layout, two MXU passes).
+        w1, b1 = Conv2d(self.dim, hidden, 1, name="proj1")(None, return_params=True)
+        w2, b2 = Conv2d(
+            hidden, self.dim, 1, kernel_init=nn.initializers.zeros, name="proj2",
+        )(None, return_params=True)
+        t = x.reshape(B, H * W, self.dim)
+        t = t @ w1[0, 0].astype(t.dtype) + b1.astype(t.dtype)
+        t = jax.nn.gelu(t, approximate=False)
+        t = t @ w2[0, 0].astype(t.dtype) + b2.astype(t.dtype)
+        return t.reshape(B, H, W, self.dim)
 
 
 class SelfAttentionBlock(nn.Module):

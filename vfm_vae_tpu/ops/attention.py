@@ -35,3 +35,28 @@ def dot_product_attention(
 
         return flash_attention(q, k, v, scale=scale)
     return jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
+
+
+def dot_product_attention_nullkv(
+    q: jnp.ndarray,       # (B, T, N, H)
+    k: jnp.ndarray,       # (B, T, N, H) real keys (no null token)
+    v: jnp.ndarray,       # (B, T, N, H)
+    null_k: jnp.ndarray,  # (B, 1, N, H)
+    null_v: jnp.ndarray,  # (B, 1, N, H)
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """SDPA over [null_kv; k/v] (GigaGAN-style learned null token,
+    gigagan_utils.py:74-78). On TPU at aligned shapes this takes a padded
+    Pallas flash path — the T+1 concat otherwise forces XLA to materialize
+    the full logits tensor in HBM (2.8x slower at the decoder's res-32
+    block). Elsewhere it is the plain concat + SDPA."""
+    from .pallas.flash_attention import nullkv_flash_eligible
+
+    if nullkv_flash_eligible(q, k, mask):
+        from .pallas.flash_attention import flash_attention_nullkv
+
+        return flash_attention_nullkv(q, k, v, null_k, null_v, scale=scale)
+    k = jnp.concatenate([null_k, k], axis=1)
+    v = jnp.concatenate([null_v, v], axis=1)
+    return dot_product_attention(q, k, v, mask=mask, scale=scale)

@@ -42,16 +42,37 @@ def _dot(a, b):
     )
 
 
-def _erf_poly(x):
-    """erf via Abramowitz-Stegun 7.1.26 (measured |err| <= 5e-7 in fp32 —
-    far below bf16 output resolution). Pallas TPU has no erf primitive;
-    exp it has."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-           + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+# GELU via Phi(h) = (1 + tanh(q(h)))/2 with q an odd degree-9 polynomial
+# (least-squares fit of atanh(2*Phi-1) on [0, 6], |h| clamped to 6 so the
+# tail saturates; gelu tail error there is h*(1-Phi(6)) ~ 1e-8*h).
+# Measured max |gelu - exact| = 7e-6 in fp32, ~3 decades below bf16 output
+# resolution. Why tanh: the TPU VPU evaluates tanh in its hardware
+# transcendental unit at ~matmul-hidden cost — an A/B on the bare kernel at
+# the decoder's top-resolution shape (B96, 256^2, C=128) measured
+# 0.206 ms/img for this form vs 0.376 for the erf polynomial with its
+# divide (Abramowitz-Stegun) and 0.448 for a div-free Chebyshev evaluated
+# by Clenshaw, against a 0.203 ms/img identity-GELU floor. The arithmetic
+# polynomial paths are VPU-op-bound; this one rides the transcendental
+# unit and is effectively free.
+_GELU_TANH_ODD = (
+    0.7978711584054661,
+    0.03638788900114523,
+    -8.481010892715382e-05,
+    -3.7353061129101834e-05,
+    1.4672760608990493e-06,
+)
+
+
+def _gelu_poly(h):
+    """Exact-GELU approximation (|err| <= 7e-6) on the VPU transcendental
+    unit: h * (1 + tanh(odd_poly(h))) / 2."""
+    hc = jnp.clip(h, -6.0, 6.0)
+    s = hc * hc
+    acc = jnp.full_like(s, _GELU_TANH_ODD[-1])
+    for c in _GELU_TANH_ODD[-2::-1]:
+        acc = acc * s + c
+    t = jnp.tanh(hc * acc)
+    return h * 0.5 * (1.0 + t)
 
 
 def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -67,8 +88,8 @@ def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = _dot(xs, w1_ref[...])  # (T, 4C) fp32 accum
     h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0, 0].astype(jnp.float32)[None, :]
     # Exact GELU (erf form), matching jax.nn.gelu(approximate=False) to
-    # within the polynomial's ~5e-7.
-    h = h * 0.5 * (1.0 + _erf_poly(h * _SQRT_HALF))
+    # within the tanh-form polynomial's ~7e-6.
+    h = _gelu_poly(h)
     y = _dot(h.astype(x_ref.dtype), w2_ref[...])
     y = y + b2_ref[0].astype(jnp.float32)[None, :]
     y = y * g_ref[0].astype(jnp.float32)[None, :]
@@ -83,10 +104,12 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
     # Row tile (in image rows): keep x/xin/out tiles + the (th*W, 4C) fp32
     # hidden within a few MB of VMEM next to both weight blocks.
     itemsize = x.dtype.itemsize
-    # Tile sizing (v5e sweep): C=512 runs ~10% faster with 512-token tiles
-    # (4MB hidden) than 256, but wider-token configs at C<=256 blow Mosaic's
-    # 16MB scoped VMEM. Use the larger budget only where validated.
-    default_kb = "4096" if C >= 512 else "2048"
+    # Tile sizing (v5e sweeps): C=512 runs ~10% faster with 512-token tiles
+    # (4MB hidden) than 256; C=128 measured best at the 4MB budget too
+    # (0.232 vs 0.240 ms/img at 2MB, B96 256^2). C=256 is insensitive
+    # (<1%) and a 4MB C=256 config once hit Mosaic's scoped-VMEM limit, so
+    # it keeps the 2MB budget.
+    default_kb = "4096" if (C >= 512 or C <= 128) else "2048"
     budget = int(os.environ.get("VFM_VAE_MLP_TILE_KB", default_kb)) * 1024
     tokens = max(W, budget // max(H * 4, 1))
     t = max(1, min(Hh, tokens // W))
@@ -116,7 +139,7 @@ def _fused(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma):
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hh * W * C * H,
             bytes_accessed=3 * B * Hh * W * C * itemsize + 2 * C * H * itemsize,
-            transcendentals=B * Hh * W * H,
+            transcendentals=B * Hh * W * H,  # one tanh per hidden element
         ),
     )(x, x_in, styles.reshape(B, 1, C), dcoef.reshape(B, 1, H),
       w1, b1.reshape(B, 1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
