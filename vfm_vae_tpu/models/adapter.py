@@ -63,7 +63,7 @@ class PlainAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, heads, hd)
 
-        out = dot_product_attention(q, k, v)  # (B, N, heads, hd)
+        out = dot_product_attention(q, k, v, prefer_flash=True)  # (B, N, heads, hd)
 
         if self.in_dim > self.out_dim:
             out = jnp.mean(out, axis=2)  # head mean -> (B, N, hd)

@@ -23,13 +23,21 @@ def dot_product_attention(
     mask: Optional[jnp.ndarray] = None,  # bool, broadcastable to (B, N, Tq, Tk)
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    prefer_flash: bool = False,
 ) -> jnp.ndarray:
     """SDPA matching torch semantics (scale defaults to H^-0.5, bool mask
-    True = attend). fp32 softmax accumulation regardless of input dtype."""
+    True = attend). fp32 softmax accumulation regardless of input dtype.
+
+    prefer_flash opts this call site into the Pallas flash kernel when the
+    shape qualifies (TPU, no mask, d in {64,128}, 128-aligned T >= 256).
+    Callers whose q/k/v come out of a packed-qkv slice (the adapter's
+    AttnProjection) measure ~2x faster through flash — XLA materializes
+    their logits in HBM — while the ViT encoder's attention is already
+    fused well by XLA and stays on the default path."""
     if use_pallas is None:
         from .pallas.flash_attention import flash_eligible
 
-        use_pallas = flash_eligible(q, k, mask)
+        use_pallas = flash_eligible(q, k, mask, prefer=prefer_flash)
     if use_pallas:
         from .pallas.flash_attention import flash_attention
 

@@ -128,13 +128,16 @@ def flash_attention_nullkv(q, k, v, null_k, null_v,
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
-def flash_eligible(q, k, mask) -> bool:
-    # Measured on v5e (B=64, T=1024, 16 heads, d=64): XLA's fused attention
-    # beats this kernel (39ms vs 61ms), so the Pallas path is opt-in via
-    # VFM_VAE_USE_PALLAS_FLASH=1 until a shape where it wins shows up.
+def flash_eligible(q, k, mask, prefer: bool = False) -> bool:
+    # Not globally on: at the ViT encoder's in-context shapes XLA's own
+    # attention fusion is slightly faster (90 vs 112 us/img/layer measured
+    # at B96/16h/T1024/d64 on v5e), so the default path stays XLA. Call
+    # sites whose layouts knock XLA off that fusion (packed-qkv slices in
+    # the adapter: 0.41 -> 0.22 ms/img measured) pass prefer=True; a global
+    # override remains via VFM_VAE_USE_PALLAS_FLASH=1.
     import os
 
-    if os.environ.get("VFM_VAE_USE_PALLAS_FLASH") != "1":
+    if not prefer and os.environ.get("VFM_VAE_USE_PALLAS_FLASH") != "1":
         return False
     if mask is not None:
         return False
@@ -144,4 +147,4 @@ def flash_eligible(q, k, mask) -> bool:
     if d not in (64, 128):
         return False
     # Tile-friendly sequence lengths only; others take the XLA path.
-    return Tq >= 512 and Tk >= 512 and Tq % 128 == 0 and Tk % 128 == 0
+    return Tq >= 256 and Tk >= 256 and Tq % 128 == 0 and Tk % 128 == 0

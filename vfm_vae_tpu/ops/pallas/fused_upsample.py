@@ -6,11 +6,15 @@ Reference chain (convnext_utils.py:197-256, pre_normalize=True):
 
 As separate XLA ops this chain costs ~45 ms per site at the decoder's top
 resolution on v5e (measured: pixel-shuffle 6-D transpose copies, conv layout
-copies, and five full read+write passes). This kernel does it in ONE pass:
-row-tiled over the input, dwconv via a prev/cur/next halo assembly, the
-pointwise expansion on the MXU, the shuffle as a VMEM reshape, and the blur
-taps on the VPU — one read of x (x3 for the halo trick), one write of the
-2x-res output.
+copies, and five full read+write passes). This kernel does everything up to
+and including the HORIZONTAL blur leg in one pass: row-tiled over the input,
+dwconv via a prev/cur/next halo assembly, the pointwise expansion on the
+MXU, the shuffle as a VMEM reshape, and the horizontal taps on the VPU.
+The VERTICAL blur leg then runs as one plain-XLA 1-D depthwise conv
+(_vblur): separable replicate-pad blur commutes across axes, XLA's dwconv
+emitter beats an in-kernel vertical pass (it needs no halo recompute), and
+evicting the row-coupled leg shrank the kernel's fp32 intermediates enough
+to lift the row tile from 4 to ~14 rows at the 128->256 site.
 
 GN is pre-folded by the caller into a per-(sample, channel) affine
 (xn = x * a + c), same trick as ops/pallas/fused_mlp.py.
@@ -40,7 +44,14 @@ def _dot(a, b):
 
 def _kernel(xp_ref, xc_ref, xn_ref, a_ref, c_ref, dw_ref, pw_ref, t_ref,
             o_ref, *, th: int, kb: int):
-    """One (batch, row-tile) program.
+    """One (batch, row-tile) program: GN-affine -> dw3x3 -> pw expand ->
+    PixelShuffle -> HORIZONTAL blur. The vertical blur leg runs as a plain
+    XLA depthwise conv after the kernel (see _vblur): separable blur with
+    per-axis replicate padding commutes across axes, and keeping the
+    row-coupled leg out of the kernel shrinks the halo from
+    1 + ceil(hb/2) rows to the dwconv's single row and eliminates the
+    (2th, 2W, Co) fp32 vertical-pass intermediates that capped th at 4
+    (35.6M scoped VMEM at the 128->256 site).
 
     xp/xc/xn: (1, th, W, Ci) prev/cur/next input row tiles.
     a/c: (1, 1, Ci) folded GN affine. dw: (3, 3, Ci). pw: (4, Ci, Co)
@@ -51,81 +62,60 @@ def _kernel(xp_ref, xc_ref, xn_ref, a_ref, c_ref, dw_ref, pw_ref, t_ref,
     W = xc_ref.shape[2]
     Ci = xc_ref.shape[3]
     Co = pw_ref.shape[2]
-    hb = kb // 2  # blur halo in shuffled rows; hd = hb//2+1 input rows
+    hb = kb // 2
 
     a = a_ref[0, 0].astype(jnp.float32)
     c = c_ref[0, 0].astype(jnp.float32)
 
-    # Input rows needed: [r0 - e, r0 + th + e) with e = 1 + ceil(hb/2)
-    # (dwconv halo 1 + blur halo in input rows). th >= e is enforced by the
-    # wrapper, so prev/cur/next tiles cover the span.
-    e = 1 + (hb + 1) // 2
-    top = xp_ref[0, th - e:, :, :]
+    # Input rows needed: [r0 - 1, r0 + th + 1) (dwconv halo only).
+    top = xp_ref[0, th - 1:, :, :]
     top = jnp.where(i == 0, jnp.zeros_like(top), top)
-    bot = xn_ref[0, :e, :, :]
+    bot = xn_ref[0, :1, :, :]
     bot = jnp.where(i == n - 1, jnp.zeros_like(bot), bot)
-    xa = jnp.concatenate([top, xc_ref[0], bot], axis=0)  # (th+2e, W, Ci)
+    xa = jnp.concatenate([top, xc_ref[0], bot], axis=0)  # (th+2, W, Ci)
     xa = (xa.astype(jnp.float32) * a[None, None, :] + c[None, None, :]).astype(
         xc_ref.dtype
     )
     # Rows outside the image must be ZERO for the dwconv's SAME padding —
-    # the affine above made them c, so zero them back out.
-    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * e, 1, 1), 0)
-    gidx = row + i * th - e
+    # the affine above made them c, so zero them back out. (Only the first
+    # and last tile have such rows.)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    gidx = row + i * th - 1
     H_in = n * th
     valid = jnp.logical_and(gidx >= 0, gidx < H_in)
     xa = jnp.where(valid, xa, jnp.zeros_like(xa))
 
-    # dwconv 3x3, zero SAME horizontally; output rows [r0-(e-1), r0+th+e-1).
+    # dwconv 3x3, zero SAME; output rows exactly [r0, r0 + th).
     xpad = jnp.pad(xa, ((0, 0), (1, 1), (0, 0)))
-    rows_t = th + 2 * (e - 1)
-    acc = jnp.zeros((rows_t, W, Ci), jnp.float32)
+    acc = jnp.zeros((th, W, Ci), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tap = xpad[dy:dy + rows_t, dx:dx + W, :].astype(jnp.float32)
+            tap = xpad[dy:dy + th, dx:dx + W, :].astype(jnp.float32)
             acc = acc + tap * dw_ref[dy, dx, :].astype(jnp.float32)
 
-    # Pointwise expand on the MXU: (rows_t*W, Ci) @ (Ci, 4Co).
-    # Pointwise expand + PixelShuffle(2). Mosaic cannot split the lane
-    # (channel) dim, so the caller pre-slices pw into the four subpixel
-    # weights (q = i*2 + j, torch channel order c*4 + q) and the shuffle
-    # becomes sublane/row interleaves of four (rows, W, Co) matmul results.
-    a2d = acc.reshape(rows_t * W, Ci).astype(xc_ref.dtype)
+    # Pointwise expand on the MXU: (th*W, Ci) @ (Ci, 4Co) per subpixel.
+    # Mosaic cannot split the lane (channel) dim, so the caller pre-slices
+    # pw into the four subpixel weights (q = i*2 + j, torch channel order
+    # c*4 + q) and the shuffle becomes sublane/row interleaves of four
+    # (th, W, Co) matmul results.
+    a2d = acc.reshape(th * W, Ci).astype(xc_ref.dtype)
     uq = [
-        _dot(a2d, pw_ref[q]).reshape(rows_t, W, Co).astype(xc_ref.dtype)
+        _dot(a2d, pw_ref[q]).reshape(th, W, Co).astype(xc_ref.dtype)
         for q in range(4)
     ]
-    top = jnp.stack([uq[0], uq[1]], axis=2).reshape(rows_t, 2 * W, Co)
-    bot = jnp.stack([uq[2], uq[3]], axis=2).reshape(rows_t, 2 * W, Co)
-    s = jnp.stack([top, bot], axis=1).reshape(2 * rows_t, 2 * W, Co)
+    top = jnp.stack([uq[0], uq[1]], axis=2).reshape(th, 2 * W, Co)
+    bot = jnp.stack([uq[2], uq[3]], axis=2).reshape(th, 2 * W, Co)
+    s = jnp.stack([top, bot], axis=1).reshape(2 * th, 2 * W, Co)
 
-    # Blur needs shuffled rows [2*r0 - hb, 2*r0 + 2*th + hb); s covers
-    # [2*(r0-(e-1)), ...) — slice the needed window.
-    off = 2 * (e - 1) - hb
-    s = s[off: off + 2 * th + 2 * hb]
-
-    # Edge-replicate at the global image boundary (blur pad mode 'edge').
-    srow = jax.lax.broadcasted_iota(jnp.int32, (2 * th + 2 * hb, 1, 1), 0)
-    sg = srow + 2 * i * th - hb
-    H_out = 2 * H_in
-    first = jnp.where(i == 0, s[hb], s[0])
-    last = jnp.where(i == n - 1, s[2 * th + hb - 1], s[2 * th + 2 * hb - 1])
-    s = jnp.where(sg < 0, first[None], s)
-    s = jnp.where(sg >= H_out, last[None], s)
-
-    # Separable blur: vertical over the halo rows, then horizontal with
-    # in-tile edge-replicate padding.
-    sf = s.astype(jnp.float32)
-    accv = jnp.zeros((2 * th, 2 * W, Co), jnp.float32)
-    for dy in range(kb):
-        accv = accv + sf[dy:dy + 2 * th] * t_ref[0, dy]
+    # Horizontal blur leg with in-tile edge-replicate padding (the full
+    # image width lives in the tile, so the clamp is globally exact).
     hpad = jnp.concatenate(
-        [jnp.repeat(accv[:, :1], hb, axis=1), accv,
-         jnp.repeat(accv[:, -1:], hb, axis=1)], axis=1
+        [jnp.repeat(s[:, :1], hb, axis=1), s,
+         jnp.repeat(s[:, -1:], hb, axis=1)], axis=1
     )
     acch = jnp.zeros((2 * th, 2 * W, Co), jnp.float32)
     for dx in range(kb):
-        acch = acch + hpad[:, dx:dx + 2 * W] * t_ref[0, dx]
+        acch = acch + hpad[:, dx:dx + 2 * W].astype(jnp.float32) * t_ref[0, dx]
     o_ref[0] = acch.astype(o_ref.dtype)
 
 
@@ -136,13 +126,14 @@ def _fused(x, a, c, dw, pw, taps, kb: int):
     # Per-subpixel weight slices (4, Ci, Co): q-th slice = columns q::4
     # (torch pixel-shuffle channel order c*4 + q).
     pw4 = pw.reshape(Ci, Co, 4).transpose(2, 0, 1)
-    hb = kb // 2
-    e = 1 + (hb + 1) // 2
-    # Row tile: hidden/pointwise tiles within a VMEM budget; th >= e.
-    budget = 1024 * 1024
-    per_row = W * max(Ci, 4 * Co) * 4
-    t0 = max(e, min(H, budget // max(per_row, 1)))
-    th = next((v for v in range(t0, e - 1, -1) if H % v == 0), H)
+    # Row tile within a VMEM budget. Dominant live arrays per tile row:
+    # 3 input blocks (dbuf'd) + dw acc fp32 ~ W*(16*Ci) bytes, and the
+    # shuffled bf16 s/hpad + fp32 acch + out ~ W*(30*Co). Halo is one
+    # dwconv row, so the recompute overhead is 2/th.
+    budget = int(os.environ.get("VFM_VAE_UPSAMPLE_TILE_KB", "7168")) * 1024
+    per_row = W * (16 * Ci + 30 * Co)
+    t0 = max(1, min(H, budget // max(per_row, 1)))
+    th = next((v for v in range(t0, 0, -1) if H % v == 0), H)
     grid = (B, H // th)
 
     idx = lambda b, i: (b, i, 0, 0)
@@ -201,15 +192,30 @@ def _forward_jnp(x, a, c, dw, pw, taps, kb: int):
     u = u.reshape(B, H, W, 4 * Co)
     s = pixel_shuffle(u, 2)
     hb = kb // 2
-    sp = jnp.pad(s, ((0, 0), (hb, hb), (hb, hb), (0, 0)), mode="edge")
+    sp = jnp.pad(s, ((0, 0), (0, 0), (hb, hb), (0, 0)), mode="edge")
     sf = sp.astype(jnp.float32)
-    accv = jnp.zeros((B, 2 * H, 2 * W + 2 * hb, Co), jnp.float32)
-    for dy in range(kb):
-        accv = accv + sf[:, dy:dy + 2 * H] * taps[dy]
     acch = jnp.zeros((B, 2 * H, 2 * W, Co), jnp.float32)
     for dx in range(kb):
-        acch = acch + accv[:, :, dx:dx + 2 * W] * taps[dx]
+        acch = acch + sf[:, :, dx:dx + 2 * W] * taps[dx]
     return acch.astype(dt)
+
+
+def _vblur(s, taps, kb: int):
+    """Vertical blur leg as a plain-XLA depthwise conv (edge-replicate
+    rows). XLA's dwconv emitter handles the row halo with zero recompute;
+    separable replicate-pad blur commutes across axes, so horizontal-in-
+    kernel then vertical-here equals the reference's vertical-then-
+    horizontal order (convnext_utils.py:229-241) exactly in exact
+    arithmetic."""
+    Co = s.shape[-1]
+    hb = kb // 2
+    sp = jnp.pad(s, ((0, 0), (hb, hb), (0, 0), (0, 0)), mode="edge")
+    kv = jnp.tile(taps.astype(s.dtype)[:, None, None, None], (1, 1, 1, Co))
+    return jax.lax.conv_general_dilated(
+        sp, kv, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=Co,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -244,7 +250,9 @@ def fused_upsample_blur(
 ) -> jnp.ndarray:
     taps = jnp.asarray(taps, jnp.float32)
     kb = int(taps.shape[0])
-    return _fused_op(x, a, c, dw, pw, taps, kb, not interpret)
+    # _fused_op = GN + dw + pw + shuffle + horizontal blur (pallas fwd,
+    # custom_vjp); the vertical leg is ordinary XLA and autodiffs normally.
+    return _vblur(_fused_op(x, a, c, dw, pw, taps, kb, not interpret), taps, kb)
 
 
 def fused_upsample_eligible(x, upscale_factor: int, taps_len: int,
@@ -258,7 +266,6 @@ def fused_upsample_eligible(x, upscale_factor: int, taps_len: int,
         return False
     if upscale_factor != 2 or taps_len % 2 == 0:
         return False
-    hb = taps_len // 2
-    e = 1 + (hb + 1) // 2
-    # Co lanes per subpixel matmul: needs full 128-lane tiles.
-    return Ci % 128 == 0 and Co % 128 == 0 and x.shape[1] >= e
+    # Co lanes per subpixel matmul: needs full 128-lane tiles. The kernel
+    # halo is one dwconv row (the vertical blur leg runs outside it).
+    return Ci % 128 == 0 and Co % 128 == 0 and x.shape[1] >= 1
