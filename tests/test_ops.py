@@ -374,3 +374,37 @@ def test_group_stats_matches_group_norm():
     rc = np.repeat(np.asarray(rstd), reps, axis=1)[:, None, None, :]
     got = (np.asarray(x, np.float32) - mc) * rc * np.asarray(w) + np.asarray(b)
     np.testing.assert_allclose(got, np.asarray(want, np.float32), atol=0.03, rtol=0.03)
+
+
+def test_pallas_channel_moments_interpret():
+    """Row-tiled pallas moment accumulation == plain-XLA reference (the
+    GroupNorm stats feed: sum and sum-of-squares per (sample, channel))."""
+    from vfm_vae_tpu.ops.pallas.group_stats import (
+        channel_moments_interpret,
+        channel_moments_reference,
+    )
+
+    x = (jnp.asarray(RNG.standard_normal((2, 12, 8, 128)), jnp.float32) * 2
+         + 0.3).astype(jnp.bfloat16)
+    s1, s2 = channel_moments_interpret(x)
+    r1, r2 = channel_moments_reference(x)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), atol=2e-3, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), atol=4e-3, rtol=2e-5)
+
+
+def test_pallas_channel_moments_grad():
+    """custom_vjp backward (ds1 = 1, ds2 = 2x) matches autodiff of the
+    reference reduction."""
+    from vfm_vae_tpu.ops.pallas import group_stats as gs
+
+    x = jnp.asarray(RNG.standard_normal((2, 6, 4, 8)), jnp.float32)
+    g1 = jnp.asarray(RNG.standard_normal((2, 8)), jnp.float32)
+    g2 = jnp.asarray(RNG.standard_normal((2, 8)), jnp.float32)
+
+    def loss_ref(xx):
+        s1, s2 = gs.channel_moments_reference(xx)
+        return jnp.sum(s1 * g1) + jnp.sum(s2 * g2)
+
+    (dx,) = gs._bwd(x, (g1, g2))
+    dref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dref), atol=1e-5, rtol=1e-5)

@@ -26,9 +26,16 @@ def group_stats(x: jnp.ndarray, num_groups: int, eps: float = 1e-5):
     the group fold is a tiny (B, C) -> (B, G) follow-up."""
     B, H, W, C = x.shape
     assert C % num_groups == 0, (C, num_groups)
-    xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))              # (B, C)
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))  # (B, C)
+    from .pallas.group_stats import channel_moments, moments_eligible
+
+    if moments_eligible(x):
+        # Opt-in only (VFM_VAE_PALLAS_STATS=1): measured SLOWER than XLA's
+        # convert+reduce on v5e (see ops/pallas/group_stats.py).
+        s1, s2 = channel_moments(x)
+    else:
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=(1, 2))              # (B, C)
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2))  # (B, C)
     s1 = s1.reshape(B, num_groups, C // num_groups).sum(-1)
     s2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
     n = H * W * (C // num_groups)
