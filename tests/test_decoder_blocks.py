@@ -386,3 +386,51 @@ def test_fused_upsample_grads(monkeypatch):
     assert np.isfinite(float(val))
     for g_ in grads:
         assert np.isfinite(np.asarray(g_)).all() and float(jnp.abs(g_).max()) > 0
+
+
+def test_nullkv_attention_padding_math():
+    """The padded-flash construction in flash_attention_nullkv (null token +
+    128-aligned zero padding + segment-id masking) must equal the plain
+    [null; k] concat softmax. The TPU kernel is emulated here with a pure
+    jnp masked softmax over the exact padded arrays + segment ids the
+    wrapper builds."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.ops import attention as attn_mod
+    from vfm_vae_tpu.ops.pallas import flash_attention as fa
+
+    B, T, N, H = 2, 256, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (B, T, N, H))
+    k = jax.random.normal(ks[1], (B, T, N, H))
+    v = jax.random.normal(ks[2], (B, T, N, H))
+    nk = jax.random.normal(ks[3], (B, 1, N, H))
+    nv = jax.random.normal(ks[4], (B, 1, N, H))
+
+    # reference: concat + SDPA (what the CPU fallback does)
+    want = attn_mod.dot_product_attention(
+        q, jnp.concatenate([nk, k], 1), jnp.concatenate([nv, v], 1))
+
+    # emulate the kernel: run flash_attention_nullkv with the pallas kernel
+    # replaced by a masked-softmax jnp twin honoring SegmentIds.
+    def fake_kernel(qt, kt, vt, segment_ids=None, sm_scale=1.0, block_sizes=None):
+        logits = jnp.einsum("bnqh,bnkh->bnqk", qt.astype(jnp.float32),
+                            kt.astype(jnp.float32)) * sm_scale
+        if segment_ids is not None:
+            mask = segment_ids.q[:, None, :, None] == segment_ids.kv[:, None, None, :]
+            logits = jnp.where(mask, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bnqk,bnkh->bnqh", w, vt.astype(jnp.float32))
+
+    orig = fa._kernel
+    fa._kernel.cache_clear()
+    fa._kernel = lambda: (fake_kernel, type("BS", (), {"__init__": lambda self, **kw: None}))
+    try:
+        got = fa.flash_attention_nullkv(q, k, v, nk, nv)
+    finally:
+        fa._kernel = orig
+
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-5, rtol=2e-5)
