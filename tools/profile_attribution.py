@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Device-time attribution for any jitted entry point on the real chip.
+
+Captures a jax.profiler trace (works through remote TPU tunnels) and
+aggregates per-fusion device time by module path and source line — the
+workflow that drove this framework's optimization passes. Unlike
+standalone op microbenchmarks, these numbers reflect in-context layouts
+and fusion decisions, which routinely differ by 2-3x.
+
+Reference analog: the upstream repo only has coarse per-phase CUDA-event
+timing (training/training_loop.py:630-635); this gives HLO-level
+attribution with file:line provenance.
+
+  python tools/profile_attribution.py                 # flagship encode+decode
+  python tools/profile_attribution.py --batch 32 --iters 3
+  python tools/profile_attribution.py --keep-trace    # leave the raw trace dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def capture(fn_call, trace_dir: str, iters: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import jax.profiler
+
+    fn_call()  # compile + warm
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(iters):
+        fn_call()
+    jax.profiler.stop_trace()
+
+
+def analyze(trace_dir: str, iters: int, batch: int, top: int = 25):
+    paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(sorted(paths)[-1]) as f:
+        tr = json.load(f)
+
+    # Device pid discovery (named '/device:TPU:N' in metadata events).
+    dev_pids = {
+        e["pid"] for e in tr["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    ev = [e for e in tr["traceEvents"]
+          if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e
+          and not str(e.get("name", "")).startswith("jit_")]
+    tot = sum(e["dur"] for e in ev)
+    scale = 1e3 * iters  # us -> ms, per call
+    print(f"device op time: {tot / scale:.2f} ms/call"
+          f"  ({tot / scale / batch * 1e3:.0f} us/img at B{batch})")
+
+    mod = collections.Counter()
+    src = collections.Counter()
+    for e in ev:
+        a = e.get("args", {})
+        t = a.get("tf_op", "")
+        m = re.search(r"jit\(\w+\)/([^/]+/[^/]+)", t)
+        key = re.sub(r"_\d+", "_N", m.group(1)) if m else e["name"][:40]
+        mod[key] += e["dur"]
+        src[a.get("source", "?")] += e["dur"]
+
+    print("\n-- by module (top 2 path levels) --")
+    for k, d in mod.most_common(top):
+        print(f"{d / scale:9.2f} ms/call {100 * d / max(tot, 1):5.1f}%  {k}")
+    print("\n-- by source line --")
+    for k, d in src.most_common(top):
+        print(f"{d / scale:9.2f} ms/call {100 * d / max(tot, 1):5.1f}%  {k}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--keep-trace", action="store_true")
+    ap.add_argument("--trace-dir", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry
+
+    fn, (variables, _) = entry()
+    jfn = jax.jit(fn)
+    img = jnp.asarray(
+        np.random.default_rng(0).random((args.batch, 256, 256, 3)), jnp.float32)
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="vfm-vae-trace-")
+    try:
+        # Force a host read per call: async dispatch through remote tunnels
+        # otherwise reports fantasy numbers.
+        capture(lambda: float(jnp.sum(jfn(variables, img))), trace_dir, args.iters)
+        analyze(trace_dir, args.iters, args.batch, args.top)
+        if args.keep_trace:
+            print(f"\nraw trace kept at {trace_dir}")
+    finally:
+        if not args.keep_trace and args.trace_dir is None:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
