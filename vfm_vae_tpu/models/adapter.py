@@ -60,8 +60,12 @@ class PlainAttention(nn.Module):
         bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
 
         qkv = x @ qkv_w.astype(x.dtype) + bias.astype(x.dtype)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, heads, hd)
+        # Contiguous last-axis split (the packed layout is [q | k | v]
+        # blocks) instead of a (B, N, 3, heads, hd) reshape + middle-dim
+        # slices — the latter's strided views knocked XLA into slow layouts
+        # for the downstream attention in-context.
+        q, k, v = (t.reshape(B, N, self.num_heads, head_dim)
+                   for t in jnp.split(qkv, 3, axis=-1))
 
         out = dot_product_attention(q, k, v, prefer_flash=True)  # (B, N, heads, hd)
 
