@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.resize import resize_matrix
+from ..parallel.tp import shard_heads, shard_hidden, shard_replicated_features
 from .layers import LayerNormFp32, Linear
 
 
@@ -64,12 +65,17 @@ class MultiHeadSelfAttention(nn.Module):
         q = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="q_proj")(x)
         k = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="k_proj")(x)
         v = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="v_proj")(x)
-        q = q.reshape(B, N, h, d)
-        k = k.reshape(B, N, h, d)
-        v = v.reshape(B, N, h, d)
+        # TP (Megatron): heads column-parallel over the mesh `model` axis;
+        # out_proj is the row-parallel contraction (one psum). No-op on a
+        # model=1 mesh (parallel/tp.py).
+        q = shard_heads(q.reshape(B, N, h, d))
+        k = shard_heads(k.reshape(B, N, h, d))
+        v = shard_heads(v.reshape(B, N, h, d))
         mask = jnp.tril(jnp.ones((N, N), bool))[None, None] if self.causal else None
         out = dot_product_attention(q, k, v, mask=mask).reshape(B, N, self.dim)
-        return Linear(self.dim, self.dim, name="out_proj")(out)
+        return shard_replicated_features(
+            Linear(self.dim, self.dim, name="out_proj")(out)
+        )
 
 
 class ViTMLP(nn.Module):
@@ -81,9 +87,11 @@ class ViTMLP(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops.bias_act import apply_activation
 
-        x = Linear(self.dim, self.hidden_dim, name="fc1")(x)
+        # TP: fc1 column-parallel / fc2 row-parallel over `model` (no-op on
+        # a model=1 mesh, parallel/tp.py).
+        x = shard_hidden(Linear(self.dim, self.hidden_dim, name="fc1")(x))
         x = apply_activation(x, self.act)
-        return Linear(self.hidden_dim, self.dim, name="fc2")(x)
+        return shard_replicated_features(Linear(self.hidden_dim, self.dim, name="fc2")(x))
 
 
 class ViTBlock(nn.Module):

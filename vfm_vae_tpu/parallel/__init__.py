@@ -1,2 +1,3 @@
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch, local_mesh,
                    zero1_sharding, shard_opt_state, zero1_state_shardings)
+from .tp import shard_heads, shard_hidden, shard_replicated_features
