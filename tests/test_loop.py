@@ -118,6 +118,64 @@ def test_training_loop_resumes(tiny_env, mesh8):
     assert np.isfinite(float(state.cur_nimg))
 
 
+def test_training_loop_conditional_text_snapshot(tiny_env, mesh8, tmp_path_factory,
+                                                 monkeypatch):
+    """conditional=True + label_type=cls2text across an image-snapshot tick:
+    real_c is a DICT of token arrays — the snapshot path must slice its
+    leaves, not the container (round-1 regression: loop.py real_c[:8])."""
+    import torch
+    from transformers import SiglipConfig, SiglipModel
+
+    from vfm_vae_tpu.train.loop import training_loop
+
+    root, _, data, c2t = tiny_env
+    vfm = tmp_path_factory.mktemp("condvfm") / "siglip2-tiny-patch8-32"
+    cfg_hf = SiglipConfig(
+        vision_config=dict(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, image_size=32, patch_size=8, num_channels=3,
+        ),
+        text_config=dict(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, vocab_size=64, max_position_embeddings=64,
+        ),
+    )
+    torch.manual_seed(0)
+    SiglipModel(cfg_hf).save_pretrained(vfm)
+
+    # The tiny checkpoint dir has no tokenizer files; stub the host-side
+    # tokenizer (the dict-shaped output contract is what's under test).
+    class StubTok:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, texts):
+            ids = np.zeros((len(texts), 64), np.int32)
+            for i, t in enumerate(texts):
+                for j, ch in enumerate(t.encode()[:64]):
+                    ids[i, j] = ch % 64
+            return {"input_ids": ids, "attention_mask": ids >= 0}
+
+    import vfm_vae_tpu.data.tokenize as tokenize_mod
+
+    monkeypatch.setattr(tokenize_mod, "TextTokenizer", StubTok)
+
+    cfg = make_cfg(root, str(vfm), data, c2t)
+    cfg["run_dir"] = str(root / "run_cond")
+    cfg["training_set_kwargs"]["conditional"] = True
+    cfg["G_kwargs"] = dict(cfg["G_kwargs"], conditional=True,
+                           label_type="cls2text", use_cross_attn=True)
+    cfg["image_snapshot_ticks"] = 1
+    cfg["network_snapshot_ticks"] = 0  # skip orbax save; image snap only
+    cfg["metrics"] = []
+    state = training_loop(mesh=mesh8, max_steps=1, **cfg)
+    assert float(state.cur_nimg) == 8
+    samples = os.listdir(os.path.join(cfg["run_dir"], "train_samples"))
+    assert any(s.startswith("val_gens_") for s in samples), (
+        "image snapshot with dict-shaped real_c did not materialize"
+    )
+
+
 def test_wandb_sink_inert_without_wandb(tmp_path):
     """WandbSink must be a no-op when wandb is absent or names unset
     (reference: training_loop.py:656-670 inits only when both are set)."""

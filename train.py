@@ -81,9 +81,14 @@ def main():
             resume_kimg=c.get("resume_kimg", 0),
             resume_discriminator=c.get("resume_discriminator", True),
             lpips_ckpt=c.get("lpips_ckpt"),
+            allow_random_lpips=c.get("allow_random_lpips", False),
             metrics=c.get("metrics", []),
             max_steps=args.max_steps,
             compute_dtype=c.get("compute_dtype", "bfloat16"),
+            data_workers=c.get("data_workers", 3),
+            fused_phases=c.get("fused_phases", False),
+            wandb_project_name=c.get("wandb_project_name"),
+            wandb_run_name=c.get("wandb_run_name"),
         )
     finally:
         logger.close()

@@ -47,22 +47,27 @@ class WandbSink:
     def active(self) -> bool:
         return self._run is not None
 
+    @staticmethod
+    def _scalars(values: Dict[str, Any], prefix: str = "") -> Dict[str, float]:
+        """Coerce to python floats (np.float32/bf16 scalars are not `float`
+        subclasses; an isinstance filter would silently drop them)."""
+        out = {}
+        for k, v in values.items():
+            try:
+                out[prefix + k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        return out
+
     def log(self, values: Dict[str, Any], step: int) -> None:
         """Per-tick scalars; `step` is kimg (reference global_step :844)."""
         if self._run is not None:
-            self._run.log(
-                {k: v for k, v in values.items() if isinstance(v, (int, float))},
-                step=step,
-            )
+            self._run.log(self._scalars(values), step=step)
 
     def log_metrics(self, results: Dict[str, Any], step: int) -> None:
         """Eval metrics under the Metrics/ namespace (reference :847-848)."""
         if self._run is not None:
-            self._run.log(
-                {f"Metrics/{k}": v for k, v in results.items()
-                 if isinstance(v, (int, float))},
-                step=step,
-            )
+            self._run.log(self._scalars(results, "Metrics/"), step=step)
 
     def finish(self) -> None:
         if self._run is not None:

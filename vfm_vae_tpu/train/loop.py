@@ -70,7 +70,9 @@ def training_loop(
     resume_kimg: int = 0,
     resume_discriminator: bool = True,
     lpips_ckpt: Optional[str] = None,
+    allow_random_lpips: bool = False,
     metrics=(),
+    in_loop_metric_batches: int = 2,
     abort_fn=None,
     max_steps: Optional[int] = None,
     data_workers: int = 3,
@@ -81,8 +83,12 @@ def training_loop(
     fused_phases: bool = False,
     **unused_kwargs,
 ):
+    from ..core.compile_cache import enable_persistent_cache
     from ..core.registry import construct_class_by_name, get_class_by_name
 
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        print0(f"[compile-cache] persistent XLA cache at {cache_dir}")
     start_time = time.time()
     rank = jax.process_index()
     num_processes = jax.process_count()
@@ -128,8 +134,20 @@ def training_loop(
 
     res = G.img_resolution
     init_img = jnp.zeros((2, res, res, 3))
-    gv = jax.jit(lambda r: G.init({"params": r}, init_img, train=False))(jax.random.PRNGKey(random_seed))
-    dv = jax.jit(lambda r: D.init({"params": r}, init_img, train=False))(jax.random.PRNGKey(random_seed + 1))
+    # Conditional models need a label example at init (text towers / class
+    # embeddings only materialize params when conditioning is present).
+    init_c = None
+    if G.conditional:
+        if G.label_type in ("text", "cls2text"):
+            init_c = {
+                "input_ids": jnp.zeros((2, 64), jnp.int32),
+                "attention_mask": jnp.ones((2, 64), bool),
+            }
+        else:
+            init_c = jnp.zeros((2, G.label_dim or 0), jnp.float32)
+    gv = jax.jit(lambda r: G.init({"params": r}, init_img, init_c, train=False))(jax.random.PRNGKey(random_seed))
+    d_init_c = jnp.zeros((2, D.c_dim), jnp.float32) if getattr(D, "c_dim", 0) else None
+    dv = jax.jit(lambda r: D.init({"params": r}, init_img, d_init_c, train=False))(jax.random.PRNGKey(random_seed + 1))
     g_params, g_bufs = gv["params"], gv.get("buffers", {})
     d_params, d_bufs = dv["params"], dv.get("buffers", {})
 
@@ -143,13 +161,22 @@ def training_loop(
     lpips_module = None
     lpips_params = None
     if float(lk.get("perceptual_loss_weight", 0.0)) > 0:
-        from .lpips import LPIPS, load_lpips_params
+        from .lpips import LPIPS, get_lpips_ckpt, load_lpips_params
 
         lpips_module = LPIPS()
-        if lpips_ckpt and os.path.isfile(lpips_ckpt):
-            lpips_params = load_lpips_params(lpips_ckpt)
-        else:
-            print0("[warn] no LPIPS checkpoint provided; using random-init LPIPS")
+        try:
+            lpips_params = load_lpips_params(get_lpips_ckpt(lpips_ckpt))
+        except Exception as e:
+            # Random-init LPIPS silently trains against a garbage perceptual
+            # loss — refuse unless explicitly requested (tests/smoke runs).
+            if not allow_random_lpips:
+                raise RuntimeError(
+                    f"LPIPS weights unavailable ({e}); download "
+                    f"vgg.pth and set lpips_ckpt, or set "
+                    f"allow_random_lpips: true to run with random-init LPIPS"
+                ) from e
+            print0(f"[warn] LPIPS weights unavailable ({e}); "
+                   "allow_random_lpips=True -> random-init LPIPS")
             lpips_params = lpips_module.init(jax.random.PRNGKey(0), init_img, init_img)["params"]
 
     # ------------------------------------------------------------ loss/opt
@@ -454,7 +481,10 @@ def training_loop(
                                f"(tools/reconstruct/evaluate.py); skipped in-loop")
                         continue
                     pairs = []
-                    for _ in range(2):  # small sample: 2 streamed batches
+                    # Small streamed sample — indicative trend only (noisy;
+                    # authoritative numbers come from tools/reconstruct over
+                    # the full val set). Widen via in_loop_metric_batches.
+                    for _ in range(in_loop_metric_batches):
                         m_imgs, m_lbls = next(data_iter)
                         m_real = jnp.asarray(m_imgs, jnp.float32) / 255.0
                         if isinstance(m_lbls, np.ndarray):
@@ -489,10 +519,16 @@ def training_loop(
                 cur_tick % image_snapshot_ticks == 0 or done
             ):
                 ema_g = state.ema_params
+                # real_c is a dict of token arrays under text conditioning —
+                # slice every leaf, not the container.
+                c8 = (
+                    jax.tree_util.tree_map(lambda x: x[:8], real_c)
+                    if real_c is not None else None
+                )
                 out = G.apply(
                     {"params": ema_g, "buffers": state.g_bufs},
                     real[:8],
-                    real_c[:8] if real_c is not None else None,
+                    c8,
                     rng=jax.random.PRNGKey(0),
                     validation=True,
                     train=False,

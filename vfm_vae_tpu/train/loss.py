@@ -299,6 +299,11 @@ class TotalLoss:
 
     # ------------------------------------------------------------ D apply
 
+    def _is_text_cond(self) -> bool:
+        return bool(getattr(self.G, "conditional", False)) and (
+            getattr(self.G, "label_type", "") in ("text", "cls2text")
+        )
+
     def run_D(self, d_params, d_bufs, img, c, rng, blur_sigma: float, train: bool):
         img = blur_image(img, blur_sigma)
         out, mut = self.D.apply(
@@ -334,6 +339,10 @@ class TotalLoss:
         )
         gen_img = gen_out.gen_img
         d_bufs_run = d_bufs
+        # D conditioning: under text conditioning D consumes the ENCODED
+        # pooled text embedding, not the raw token dict (reference
+        # loss.py:569-572 run_D(img, real_c_enc)).
+        c_d = gen_out.global_text_tokens if self._is_text_cond() else real_c
 
         zero = jnp.zeros(())
         terms = {name: zero for name in G_TERMS}
@@ -341,7 +350,7 @@ class TotalLoss:
         # Adversarial terms.
         if self.stylegan_t_on or self.patchgan_on:
             d_out, d_bufs_run = self.run_D(
-                d_params, d_bufs_run, gen_img, real_c, rngs.get("d_gen"), blur_sigma, True
+                d_params, d_bufs_run, gen_img, c_d, rngs.get("d_gen"), blur_sigma, True
             )
             if self.stylegan_t_on and self.stylegan_t_discriminator_loss_weight > 0:
                 terms["stylegan_t_gen_loss"] = jnp.mean(-d_out.stylegan_t_logits)
@@ -365,7 +374,7 @@ class TotalLoss:
             and self.patchgan_discriminator_loss_weight > 0
         ):
             real_d_out, d_bufs_run = self.run_D(
-                d_params, d_bufs_run, real_pm1, real_c, rngs.get("d_real"), blur_sigma, True
+                d_params, d_bufs_run, real_pm1, c_d, rngs.get("d_real"), blur_sigma, True
             )
             terms["feature_matching_loss"] = feature_matching_loss(
                 real_d_out.patchgan_features, d_out.patchgan_features
@@ -440,6 +449,9 @@ class TotalLoss:
             "g_bufs": g_mut["buffers"],
             "d_bufs": d_bufs_run,
             "gen_img": jax.lax.stop_gradient(gen_img),
+            # Encoded D condition for the fused-phase D branch (already
+            # stop_gradient'd by the frozen text tower).
+            "c_d": c_d,
         }
         return tuple(terms[name] for name in G_TERMS), aux
 
@@ -527,8 +539,9 @@ class TotalLoss:
             real_img, real_c, rng=rngs.get("sample"), eq=eq, train=True,
             mutable=["buffers"],
         )
+        c_d = gen_out.global_text_tokens if self._is_text_cond() else real_c
         return self.d_loss_from_gen(
-            d_params, d_bufs, gen_out.gen_img, real_img, real_c, rngs, eq,
+            d_params, d_bufs, gen_out.gen_img, real_img, c_d, rngs, eq,
             cur_nimg, blur_sigma,
         )
 
@@ -545,7 +558,11 @@ class TotalLoss:
         blur_sigma: float = 0.0,
     ):
         """D loss given an already-generated image (fused-phase path: the
-        G forward is shared with g_terms instead of recomputed)."""
+        G forward is shared with g_terms instead of recomputed).
+
+        `real_c` here is the ENCODED D condition (dense (B, c_dim) text
+        embedding under text conditioning — reference loss.py:569-572 —
+        or the raw one-hot/None otherwise); callers encode it."""
         stats: Dict[str, jnp.ndarray] = {}
         gen_img = jax.lax.stop_gradient(gen_img)
         d_bufs_run = d_bufs

@@ -3,15 +3,17 @@ training/lpips.py:61-171). VGG16 feature slices (relu1_2..relu5_3), channel
 unit-normalization, frozen 1x1 linear heads, spatial mean, layer sum.
 
 Weights come from the same checkpoint the reference auto-downloads
-(`vgg.pth`, md5 d507d7349b931f0638a25a48a722f98a) via
-`load_lpips_params(path)` — no network access at runtime; pass the file
-through config `lpips_ckpt`. Random-init params are fine for smoke tests.
+(`vgg.pth`, heibox URL + md5 check, training/lpips.py:19-29,50-59) via
+`get_lpips_ckpt()` (explicit path > cache > download) +
+`load_lpips_params(path)`. Random-init params are fine for smoke tests
+but must be requested explicitly (`allow_random_lpips`).
 NHWC, inputs in [-1, 1].
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+import os
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +25,23 @@ from .lpips_util import VGG16_CFG  # layer channel plan
 LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 LPIPS_CHNS = [64, 128, 256, 512, 512]
+
+# Reference checkpoint contract (training/lpips.py:19-29).
+LPIPS_URL = "https://heibox.uni-heidelberg.de/f/607503859c864bc1b30b/?dl=1"
+LPIPS_MD5 = "d507d7349b931f0638a25a48a722f98a"
+
+
+def get_lpips_ckpt(path: Optional[str] = None) -> str:
+    """Resolve the taming `vgg.pth`: explicit path > local cache > download
+    with md5 verification (reference training/lpips.py:50-59). Raises
+    IOError when neither a file nor the network is available."""
+    if path:
+        if os.path.isfile(path):
+            return path
+        raise IOError(f"lpips_ckpt path does not exist: {path}")
+    from ..core.urlcache import open_url
+
+    return open_url(LPIPS_URL, expected_md5=LPIPS_MD5)
 
 
 class VGG16Features(nn.Module):

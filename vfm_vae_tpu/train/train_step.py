@@ -52,12 +52,17 @@ def _tree_add(a, b):
 
 
 def _microbatches(x, n):
+    """Split the leading (batch) dim into n chunks; pytree-aware (text
+    conditioning carries a dict of token arrays)."""
     if x is None:
         return [None] * n
-    B = x.shape[0]
+    B = jax.tree_util.tree_leaves(x)[0].shape[0]
     assert B % n == 0, (B, n)
     m = B // n
-    return [x[i * m : (i + 1) * m] for i in range(n)]
+    return [
+        jax.tree_util.tree_map(lambda l: l[i * m : (i + 1) * m], x)
+        for i in range(n)
+    ]
 
 
 G_STAT_NAMES = {
@@ -195,7 +200,8 @@ class Trainer:
         tstats.report(stats, "Loss/G/cur_vf_loss_weight", cur_vf_w)
 
         total = jnp.sum(weights * jnp.stack(terms))
-        return grads, aux["g_bufs"], aux["d_bufs"], new_loss_state, stats, total, aux["gen_img"]
+        return (grads, aux["g_bufs"], aux["d_bufs"], new_loss_state, stats, total,
+                aux["gen_img"], aux.get("c_d"))
 
     def g_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
         n_acc = self.num_accumulation
@@ -208,7 +214,7 @@ class Trainer:
         stats_all: Dict[str, jnp.ndarray] = {}
         total = 0.0
         for mb in range(n_acc):
-            grads, g_bufs, d_bufs, loss_state, stats, t, _ = self._g_microbatch(
+            grads, g_bufs, d_bufs, loss_state, stats, t, _, _ = self._g_microbatch(
                 state.g_params, state, imgs[mb], cs[mb], sub_rngs[mb], eq,
                 blur_sigma, g_bufs, d_bufs, loss_state,
             )
@@ -275,8 +281,9 @@ class Trainer:
         for mb in range(n_acc):
             rg, rd = jax.random.split(sub_rngs[mb])
 
-            # G branch: one vjp'd forward; also yields the generated image.
-            g_grads, g_bufs, _, loss_state, g_stats, gt, gen_img = self._g_microbatch(
+            # G branch: one vjp'd forward; also yields the generated image
+            # and the encoded D condition (text embedding under text cond).
+            g_grads, g_bufs, _, loss_state, g_stats, gt, gen_img, c_d = self._g_microbatch(
                 state.g_params, state, imgs[mb], cs[mb], rg, eq,
                 blur_sigma, g_bufs, d_bufs0, loss_state,
             )
@@ -292,7 +299,7 @@ class Trainer:
                 )
             )
 
-            def fd(d_params, img=imgs[mb], c=cs[mb], rngs=d_rngs, gen=gen_img,
+            def fd(d_params, img=imgs[mb], c=c_d, rngs=d_rngs, gen=gen_img,
                    bufs=d_bufs):
                 return self.loss.d_loss_from_gen(
                     d_params, bufs, gen, img, c, rngs, eq,
