@@ -29,25 +29,45 @@ from .layers import LayerNormFp32, Linear
 from .vit import interpolate_pos_embed
 
 
-def eva_rope_table(grid_h: int, grid_w: int, head_dim: int, temperature: float = 100.0):
-    """timm EvaRotaryEmbeddingCat-style 2D axial rope: (N, head_dim) sin and
-    cos tables (half dims for h, half for w; pairs interleaved by concat)."""
+def eva_rope_table(
+    grid_h: int,
+    grid_w: int,
+    head_dim: int,
+    temperature: float = 10000.0,
+    ref_grid: Optional[int] = None,
+):
+    """2D axial rotary tables, (N, head_dim) sin and cos.
+
+    Follows the EVA-02 rope recipe (arXiv 2303.11331 §2.2 /
+    VisionRotaryEmbeddingFast; timm RotaryEmbeddingCat equivalent):
+    frequency bands 1/T^(i/b) with b = head_dim//4 bands per spatial axis,
+    angles laid out [h-bands | w-bands] then **pair-interleaved**
+    (repeat_interleave(2)), rotating adjacent pairs (x0,x1), (x2,x3), ...
+    — NOT the half-split GPT-NeoX layout. Dynamic resolution scales the
+    positions to the pretrain grid (ft->pt extrapolation: t = arange(g)/g
+    * ref_grid), the same trick eva_utils.py relies on via
+    dynamic_img_size=True."""
     quarter = head_dim // 4
     bands = 1.0 / (temperature ** (np.arange(quarter) / quarter))
-    ph = np.arange(grid_h)
-    pw = np.arange(grid_w)
+    rg_h = ref_grid or grid_h
+    rg_w = ref_grid or grid_w
+    ph = np.arange(grid_h) / grid_h * rg_h
+    pw = np.arange(grid_w) / grid_w * rg_w
     ang_h = np.outer(ph, bands)  # (H, quarter)
     ang_w = np.outer(pw, bands)
     hh = np.repeat(ang_h[:, None, :], grid_w, 1).reshape(-1, quarter)
     ww = np.repeat(ang_w[None, :, :], grid_h, 0).reshape(-1, quarter)
     ang = np.concatenate([hh, ww], axis=-1)  # (N, head_dim/2)
-    ang = np.concatenate([ang, ang], axis=-1)  # (N, head_dim)
+    ang = np.repeat(ang, 2, axis=-1)  # pair-interleave -> (N, head_dim)
     return np.sin(ang).astype(np.float32), np.cos(ang).astype(np.float32)
 
 
-def _rot_half(x):
-    x1, x2 = jnp.split(x, 2, axis=-1)
-    return jnp.concatenate([-x2, x1], axis=-1)
+def _rot_pairs(x):
+    """(-x1, x0, -x3, x2, ...): the pair-interleaved rope rotation matching
+    the repeat_interleave'd tables above."""
+    x_even = x[..., 0::2]
+    x_odd = x[..., 1::2]
+    return jnp.stack([-x_odd, x_even], axis=-1).reshape(x.shape)
 
 
 class EvaAttention(nn.Module):
@@ -69,7 +89,7 @@ class EvaAttention(nn.Module):
 
         def rot(t):
             head, rest = t[:, :1], t[:, 1:]
-            rest = rest * cos + _rot_half(rest) * sin
+            rest = rest * cos + _rot_pairs(rest) * sin
             return jnp.concatenate([head, rest], axis=1)
 
         q, k = rot(q), rot(k)
@@ -153,7 +173,7 @@ class EVATower(nn.Module):
         x = x + pos_use.astype(x.dtype)[None]
 
         head_dim = D // self.num_heads
-        rope_sin, rope_cos = eva_rope_table(gh, gw, head_dim)
+        rope_sin, rope_cos = eva_rope_table(gh, gw, head_dim, ref_grid=grid)
         rope_sin = jnp.asarray(rope_sin)
         rope_cos = jnp.asarray(rope_cos)
 
@@ -168,7 +188,11 @@ class EVATower(nn.Module):
             if (i + 1) in collect_set:
                 hidden[i + 1] = x
 
-        last = LayerNormFp32(D, eps=self.eps, name="norm")(x)
+        # Reference contract (eva_utils.py:113-128): layer -1 and the pooled
+        # CLS come from the RAW last-block output — the wrapper never calls
+        # timm's final norm, so those weights are dead and the converter
+        # drops them.
+        last = x
         pooled = last[:, 0] if need_pooled else None
         return hidden, last, pooled
 
@@ -177,12 +201,14 @@ def convert_eva_timm(sd, prefix: str = "") -> dict:
     """timm eva02 state_dict -> EVATower params (naming per timm eva.py)."""
     from .convert import _arr, _conv, _t, convert_layernorm, convert_linear
 
+    # NOTE: timm's final `norm.*` keys are intentionally dropped — the
+    # reference wrapper stops at the last block (eva_utils.py:113-121), so
+    # the final LayerNorm is dead weight in its inference contract.
     p = {
         "patch_embedding_weight": _conv(sd[prefix + "patch_embed.proj.weight"]),
         "patch_embedding_bias": _arr(sd[prefix + "patch_embed.proj.bias"]),
         "cls_token": _arr(sd[prefix + "cls_token"]),
         "pos_embed": np.asarray(sd[prefix + "pos_embed"])[0],
-        "norm": convert_layernorm(sd, prefix + "norm."),
     }
     i = 0
     while prefix + f"blocks.{i}.norm1.weight" in sd:
