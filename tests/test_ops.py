@@ -276,6 +276,36 @@ def test_pallas_dwconv_interpret_matches_lax():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_int8_matmul_interpret_matches_reference():
+    """Fused quantize+int8 matmul kernel == the plain-XLA W8A8 reference
+    (ops/quantized.int8_linear_prequant's in-graph form), including the
+    scratch-persistence pattern (grid 2x2 re-uses the quantized m-tile)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfm_vae_tpu.ops.pallas.int8_matmul import _int8_matmul_2d
+    from vfm_vae_tpu.ops.quantized import int8_linear_prequant
+
+    rng = np.random.default_rng(0)
+    M, K, N = 256, 256, 256
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    wq = jnp.asarray(rng.integers(-127, 128, (K, N), dtype=np.int8))
+    ws = jnp.asarray(np.abs(rng.standard_normal(N)).astype(np.float32) * 0.01 + 1e-4)
+    b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+
+    want = int8_linear_prequant(x, wq, ws, b)  # CPU -> jnp path
+    with pltpu.force_tpu_interpret_mode():
+        got = _int8_matmul_2d(x, wq, ws.reshape(1, N), b.reshape(1, N), 128, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_int8_matmul_eligibility_gates():
+    from vfm_vae_tpu.ops.pallas.int8_matmul import int8_matmul_eligible
+
+    wq = jnp.zeros((256, 256), jnp.int8)
+    # CPU backend -> never eligible (kernel is a TPU serving path).
+    assert not int8_matmul_eligible(jnp.zeros((4, 256, 256)), wq)
+
+
 # ------------------------------------------------------------ fused convnext mlp
 
 

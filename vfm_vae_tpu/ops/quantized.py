@@ -76,7 +76,15 @@ def int8_linear_prequant(
     b: Optional[jnp.ndarray] = None,  # (N,)
 ) -> jnp.ndarray:
     """y = x @ (wq * ws) + b with the weight already int8 on HBM; only the
-    activation is quantized in-graph (per-token dynamic absmax)."""
+    activation is quantized in-graph (per-token dynamic absmax).
+
+    On TPU the quantize+matmul runs as ONE Pallas kernel
+    (ops/pallas/int8_matmul.py) — the in-graph XLA form below is the
+    bit-identical reference/fallback (and the path autodiff sees)."""
+    from .pallas.int8_matmul import int8_matmul, int8_matmul_eligible
+
+    if int8_matmul_eligible(x, wq):
+        return int8_matmul(x, wq, ws, b)
     xf = x.astype(jnp.float32)
     s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     s = jnp.maximum(s, 1e-8)
