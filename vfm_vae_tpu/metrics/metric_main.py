@@ -224,19 +224,28 @@ def _clip_score_over_batches(clip_image_fn, clip_text_fn, gen_batches,
     (reference: metrics/clip_score.py:20-47)."""
     import numpy as np
 
+    import itertools
+
     sims, seen = [], 0
     text_iter = iter(texts)
     for imgs in gen_batches:
         if seen >= num_gen:
             break
         imgs = imgs[: num_gen - seen]
-        batch_texts = [next(text_iter) for _ in range(len(imgs))]
+        batch_texts = list(itertools.islice(text_iter, len(imgs)))
+        if len(batch_texts) < len(imgs):
+            raise ValueError(
+                f"clip_score: texts exhausted after {seen + len(batch_texts)} "
+                f"images (need one caption per generated image, num_gen={num_gen})"
+            )
         img_f = np.asarray(clip_image_fn(imgs))
         txt_f = np.asarray(clip_text_fn(batch_texts))
         img_f = img_f / np.linalg.norm(img_f, axis=-1, keepdims=True)
         txt_f = txt_f / np.linalg.norm(txt_f, axis=-1, keepdims=True)
         sims.append(np.sum(img_f * txt_f, axis=-1))
         seen += len(imgs)
+    if not sims:
+        raise ValueError("clip_score: gen_batches yielded no images")
     return float(np.concatenate(sims).mean())
 
 

@@ -137,6 +137,8 @@ def flash_eligible(q, k, mask, prefer: bool = False) -> bool:
     # override remains via VFM_VAE_USE_PALLAS_FLASH=1.
     import os
 
+    if os.environ.get("VFM_VAE_NO_PALLAS_FLASH") == "1":
+        return False  # kill switch for triage (mirrors VFM_VAE_NO_PALLAS_NULLKV)
     if not prefer and os.environ.get("VFM_VAE_USE_PALLAS_FLASH") != "1":
         return False
     if mask is not None:
