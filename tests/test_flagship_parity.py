@@ -72,7 +72,8 @@ def both_flagships(flagship_vfm_dir):
 
     ref_gen_mod = import_reference("networks.generator")
     torch.manual_seed(123)
-    ref = ref_gen_mod.Generator(train_mode="train_all", **gk).eval()
+    gk.setdefault("train_mode", "train_all")
+    ref = ref_gen_mod.Generator(**gk).eval()
 
     from vfm_vae_tpu.models.convert import convert_generator
     from vfm_vae_tpu.models.generator import Generator

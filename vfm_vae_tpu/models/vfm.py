@@ -62,6 +62,11 @@ VFM_PRESETS: Dict[str, Dict[str, Any]] = {
         hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=2730,
         patch_size=14, image_size=448, text_hidden_size=1024,
     ),
+    # The reference wrapper's default model (eva_utils.py:19).
+    "eva02-large-patch14-clip-336": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=2730,
+        patch_size=14, image_size=336, text_hidden_size=1024,
+    ),
     "eva02-base-patch14-448": dict(
         hidden_size=768, num_layers=12, num_heads=12, mlp_dim=2048,
         patch_size=14, image_size=448, text_hidden_size=768,
