@@ -17,6 +17,10 @@ TARGET = 3000.0  # img/s/chip (BASELINE.json)
 
 
 def main():
+    from vfm_vae_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

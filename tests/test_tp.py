@@ -80,6 +80,55 @@ def test_activation_sharding_is_column_parallel():
     assert shard_hidden(x) is x
 
 
+def test_eva_tower_model2_matches_model1():
+    """The EVA tower's own blocks (separate q/k/v, sub-LN, SwiGLU) carry the
+    same TP constraints."""
+    from vfm_vae_tpu.models.eva import EVATower
+    from vfm_vae_tpu.parallel import make_mesh, replicated, shard_batch
+
+    tower = EVATower(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128,
+                     patch_size=8, image_size=32)
+    img = jnp.asarray(np.random.default_rng(3).random((8, 32, 32, 3)), jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), img)
+
+    outs = {}
+    for model in (1, 2):
+        mesh = make_mesh(model=model)
+        with jax.sharding.set_mesh(mesh):
+            _, last, pooled = jax.jit(lambda p, x: tower.apply(p, x))(
+                jax.device_put(params, replicated(mesh)), shard_batch(mesh, img)
+            )
+            outs[model] = (jax.device_get(last), jax.device_get(pooled))
+    np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=2e-5, atol=2e-5)
+
+
+def test_qwen_tower_model2_matches_model1():
+    """Qwen vision blocks (packed qkv, SwiGLU) under the model axis."""
+    from vfm_vae_tpu.models.qwen import QwenVisionTower, qwen_patchify
+    from vfm_vae_tpu.parallel import make_mesh, replicated, shard_batch
+
+    tower = QwenVisionTower(
+        hidden_size=64, depth=2, num_heads=4, mlp_dim=128, out_hidden_size=32,
+        patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+        window_size=16, fullatt_block_indexes=(1,),
+    )
+    img = jnp.asarray(np.random.default_rng(4).random((8, 16, 16, 3)), jnp.float32)
+    patches, grid = qwen_patchify(img, 4, 2, 2)
+    params = tower.init(jax.random.PRNGKey(0), patches, grid)
+
+    outs = {}
+    for model in (1, 2):
+        mesh = make_mesh(model=model)
+        with jax.sharding.set_mesh(mesh):
+            _, merged, pooled = jax.jit(
+                lambda p, x: tower.apply(p, x, grid)
+            )(jax.device_put(params, replicated(mesh)), shard_batch(mesh, patches))
+            outs[model] = (jax.device_get(merged), jax.device_get(pooled))
+    np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=2e-5, atol=2e-5)
+
+
 def test_dryrun_mesh_uses_model_axis(tower_and_inputs):
     """The graft dryrun builds a (4, 2) mesh on 8 devices; the tiny train
     Generator's frozen tower divides by model=2, so the same constraint

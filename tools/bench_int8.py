@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
+    from vfm_vae_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     args = ap.parse_args()
 
+    from vfm_vae_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -52,8 +56,9 @@ def main():
         def run(x):
             def body(_, xc):
                 y = op(xc)
-                # Serialize iterations; epsilon keeps XLA from folding it.
-                return xc + 1e-6 * y[:, : xc.shape[1]].astype(xc.dtype)
+                # Serialize iterations via a scalar feedback term (shape-
+                # agnostic; epsilon keeps XLA from folding it away).
+                return xc + (1e-6 * jnp.mean(y)).astype(xc.dtype)
 
             return jax.lax.fori_loop(0, ITERS, body, x)
 

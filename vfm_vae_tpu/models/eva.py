@@ -25,6 +25,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from ..parallel.tp import shard_heads, shard_hidden, shard_replicated_features
 from .layers import LayerNormFp32, Linear
 from .vit import interpolate_pos_embed
 
@@ -79,9 +80,11 @@ class EvaAttention(nn.Module):
         B, N, _ = x.shape
         h = self.num_heads
         d = self.dim // h
-        q = Linear(self.dim, self.dim, name="q_proj")(x).reshape(B, N, h, d)
-        k = Linear(self.dim, self.dim, use_bias=False, name="k_proj")(x).reshape(B, N, h, d)
-        v = Linear(self.dim, self.dim, name="v_proj")(x).reshape(B, N, h, d)
+        # TP: heads column-parallel over `model`; out-proj row-parallel
+        # (no-op without an active model axis, parallel/tp.py).
+        q = shard_heads(Linear(self.dim, self.dim, name="q_proj")(x).reshape(B, N, h, d))
+        k = shard_heads(Linear(self.dim, self.dim, use_bias=False, name="k_proj")(x).reshape(B, N, h, d))
+        v = shard_heads(Linear(self.dim, self.dim, name="v_proj")(x).reshape(B, N, h, d))
 
         # Rope on patch tokens only (CLS at index 0 passes through).
         sin = rope_sin[None, :, None, :].astype(q.dtype)
@@ -95,7 +98,7 @@ class EvaAttention(nn.Module):
         q, k = rot(q), rot(k)
         out = dot_product_attention(q, k, v).reshape(B, N, self.dim)
         out = LayerNormFp32(self.dim, eps=1e-6, name="norm")(out)  # sub-LN
-        return Linear(self.dim, self.dim, name="proj")(out)
+        return shard_replicated_features(Linear(self.dim, self.dim, name="proj")(out))
 
 
 class EvaSwiGLU(nn.Module):
@@ -104,11 +107,12 @@ class EvaSwiGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        a = Linear(self.dim, self.hidden, name="w1")(x)
-        b = Linear(self.dim, self.hidden, name="w2")(x)
+        # TP: w1/w2 column-parallel, w3 row-parallel (parallel/tp.py).
+        a = shard_hidden(Linear(self.dim, self.hidden, name="w1")(x))
+        b = shard_hidden(Linear(self.dim, self.hidden, name="w2")(x))
         h = jax.nn.silu(a) * b
         h = LayerNormFp32(self.hidden, eps=1e-6, name="norm")(h)  # sub-LN
-        return Linear(self.hidden, self.dim, name="w3")(h)
+        return shard_replicated_features(Linear(self.hidden, self.dim, name="w3")(h))
 
 
 class EvaBlock(nn.Module):

@@ -94,20 +94,29 @@ class QwenVisionBlock(nn.Module):
         h = self.num_heads
         d = self.dim // h
 
+        # TP (parallel/tp.py): heads/MLP-hidden column-parallel over the mesh
+        # `model` axis; proj/down_proj are the row-parallel psum sites. All
+        # no-ops on a model=1 mesh.
+        from ..parallel.tp import shard_heads, shard_hidden, shard_replicated_features
+
         y = QwenRMSNorm(self.dim, name="norm1")(x)
         qkv = Linear(self.dim, 3 * self.dim, name="qkv")(y).reshape(B, N, 3, h, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q, k, v = (shard_heads(qkv[:, :, i]) for i in range(3))
         c = cos[None, :, None, :].astype(q.dtype)
         s = sin[None, :, None, :].astype(q.dtype)
         q = q * c + _rotate_half(q) * s
         k = k * c + _rotate_half(k) * s
         attn = dot_product_attention(q, k, v, mask=mask)
-        x = x + Linear(self.dim, self.dim, name="proj")(attn.reshape(B, N, self.dim))
+        x = x + shard_replicated_features(
+            Linear(self.dim, self.dim, name="proj")(attn.reshape(B, N, self.dim))
+        )
 
         y = QwenRMSNorm(self.dim, name="norm2")(x)
-        gate = Linear(self.dim, self.mlp_dim, name="gate_proj")(y)
-        up = Linear(self.dim, self.mlp_dim, name="up_proj")(y)
-        y = Linear(self.mlp_dim, self.dim, name="down_proj")(jax.nn.silu(gate) * up)
+        gate = shard_hidden(Linear(self.dim, self.mlp_dim, name="gate_proj")(y))
+        up = shard_hidden(Linear(self.dim, self.mlp_dim, name="up_proj")(y))
+        y = shard_replicated_features(
+            Linear(self.mlp_dim, self.dim, name="down_proj")(jax.nn.silu(gate) * up)
+        )
         return x + y
 
 

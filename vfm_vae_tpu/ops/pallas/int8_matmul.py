@@ -131,12 +131,17 @@ def int8_matmul(
         M *= d
     x2 = x.reshape(M, K)
     bias = jnp.zeros((N,), jnp.float32) if b is None else b.astype(jnp.float32)
-    # Tile budget: x-tile (bm, K) bf16 + int8 scratch + wq tile (K, bn) +
-    # fp32 accumulator within the ~16MB scoped-VMEM window. Swept on v5e at
-    # (M,K,N)=(32768,1024,4096) (tools/bench_int8_kernel.py): 1024x1024
-    # tiles 1.679 ms = 163.7 TOP/s = 1.37x bf16 XLA; 512x512 1.73; 256x512
-    # 1.89.
-    bm = bm or _pick_tile(M, 1024)
-    bn = bn or _pick_tile(N, 1024)
+    # Tile budget: the double-buffered x block (2*bm*K bf16) dominates the
+    # 16MB scoped-VMEM window — at K=4096 a bm=1024 tile is 16MB of x alone
+    # and Mosaic refuses (measured: "16.50M ... limit 16.00M"). Cap the x
+    # double buffer at ~8MB and the wq double buffer at ~4MB, then take the
+    # largest 128-multiple divisors. Swept on v5e at (32768,1024,4096):
+    # 1024x1024 tiles 1.679 ms = 163.7 TOP/s = 1.37x bf16 XLA; 512x512
+    # 1.73; 256x512 1.89.
+    itemsize = max(x.dtype.itemsize, 2)
+    bm_cap = max(128, (8 * 1024 * 1024) // (2 * K * itemsize))
+    bn_cap = max(128, (4 * 1024 * 1024) // (2 * K))
+    bm = bm or _pick_tile(M, min(1024, bm_cap))
+    bn = bn or _pick_tile(N, min(1024, bn_cap))
     y = _int8_matmul_2d(x2, wq, ws.astype(jnp.float32), bias, bm, bn)
     return y.reshape(*lead, N)
