@@ -138,9 +138,12 @@ def int8_matmul(
     # largest 128-multiple divisors. Swept on v5e at (32768,1024,4096):
     # 1024x1024 tiles 1.679 ms = 163.7 TOP/s = 1.37x bf16 XLA; 512x512
     # 1.73; 256x512 1.89.
+    # Empirically (Mosaic scoped-vmem accounting is opaque): 2*bm*K*2B at
+    # 8MB still trips the limit at K=4096, 4MB (K=1024, bm=1024) is fine —
+    # cap both pipeline double-buffers at 6MB.
     itemsize = max(x.dtype.itemsize, 2)
-    bm_cap = max(128, (8 * 1024 * 1024) // (2 * K * itemsize))
-    bn_cap = max(128, (4 * 1024 * 1024) // (2 * K))
+    bm_cap = max(128, (6 * 1024 * 1024) // (2 * K * itemsize))
+    bn_cap = max(128, (6 * 1024 * 1024) // (2 * K))
     bm = bm or _pick_tile(M, min(1024, bm_cap))
     bn = bn or _pick_tile(N, min(1024, bn_cap))
     y = _int8_matmul_2d(x2, wq, ws.astype(jnp.float32), bias, bm, bn)

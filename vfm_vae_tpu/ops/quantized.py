@@ -22,15 +22,17 @@ Two variants:
     weights (half the weight HBM traffic of bf16) and only quantizes the
     activations dynamically. This is the serving path.
 
-MEASURED VERDICT (v5e, tools/bench_int8.py, SigLIP2-L encoder @512px B96):
-bf16 6.49 ms/img vs prequant-int8 7.39 ms/img — int8 is 0.88x, a net LOSS
-end-to-end even with weights pre-quantized (latent rel-L1 drift 1.6%). The
-per-token absmax reduce + round before every matmul breaks XLA's
-layernorm->matmul fusions, which at batch-1024-token ViT shapes costs more
-than the 2x MXU rate buys back. Kept as an opt-in experiment
-(VFM_VAE_INT8_VFM=1); bf16 stays the serving default. A fused Pallas
-quantize-matmul (absmax in the same kernel as the dot) is the only way the
-2x materializes — candidate future work.
+MEASURED VERDICT, round 2 (v5e, tools/bench_int8.py, SigLIP2-L @512px B96):
+the fused Pallas quantize+matmul kernel (ops/pallas/int8_matmul.py) fixes
+the round-1 fusion-breakage loss (0.88x -> 0.99x e2e) and wins standalone
+at the MLP expand shape (1.37x at (32768,1024,4096); fc2 1.09x; qkv-sized
+1.04x — small-N matmuls are not MXU-rate-bound). End-to-end the encoder is
+UNCHANGED (6.11 vs 6.16 ms/img): in-context the bf16 matmuls already run
+~170 TFLOP/s (near practical MXU peak), and the kernel's 164 TOP/s int8
+rate (41% of the 394 TOP/s peak) merely matches it. Getting a real 2x
+needs a deeper-pipelined int8 kernel (K-split accumulation, Mosaic
+scheduling) — parked with numbers. Opt-in stays VFM_VAE_INT8_VFM=1
+(latent rel-L1 drift 1.6%); bf16 is the serving default.
 """
 
 from __future__ import annotations
