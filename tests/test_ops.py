@@ -306,6 +306,30 @@ def test_int8_matmul_eligibility_gates():
     assert not int8_matmul_eligible(jnp.zeros((4, 256, 256)), wq)
 
 
+def test_fused_upsample_bf16_grad_compiles():
+    """Regression: the vertical-blur leg must keep conv operands same-dtype
+    — an fp32-accumulating conv there breaks jax's transpose rule under
+    bf16 training (mixed f32-cotangent/bf16-kernel), which only the bf16
+    flagship compile caught."""
+    import jax
+
+    from vfm_vae_tpu.ops.pallas.fused_upsample import fused_upsample_blur
+
+    B, H, W, Ci, Co = 2, 4, 4, 8, 4
+    rng = np.random.default_rng(0)
+    arr = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    x, a, c = arr(B, H, W, Ci), arr(B, Ci), arr(B, Ci)
+    dw, pw = arr(3, 3, Ci), arr(Ci, 4 * Co)
+
+    def loss(x, pw):
+        y = fused_upsample_blur(x, a, c, dw, pw, [0.25, 0.5, 0.25], interpret=True)
+        return jnp.sum(y.astype(jnp.float32))
+
+    gx, gpw = jax.grad(loss, argnums=(0, 1))(x, pw)
+    assert gx.dtype == jnp.bfloat16 and np.isfinite(np.asarray(gx, np.float32)).all()
+    assert np.isfinite(np.asarray(gpw, np.float32)).all()
+
+
 # ------------------------------------------------------------ fused convnext mlp
 
 

@@ -211,15 +211,18 @@ def _vblur(s, taps, kb: int):
     hb = kb // 2
     sp = jnp.pad(s, ((0, 0), (hb, hb), (0, 0), (0, 0)), mode="edge")
     kv = jnp.tile(taps.astype(s.dtype)[:, None, None, None], (1, 1, 1, Co))
-    # bf16 inputs, fp32 accumulation (native on the VPU), one final round —
-    # matches the kernel's fp32-accumulate-then-round-once policy. The taps
-    # themselves ([1,4,6,4,1]/16-family dyadic rationals) are exact in bf16.
+    # Same-dtype conv on purpose: preferred_element_type=f32 here broke the
+    # bf16 TRAINING path (jax's conv transpose rule rejects the mixed
+    # f32-cotangent/bf16-kernel pair — caught by the flagship EQ compile
+    # sweep). Accuracy: the blur taps ([1,4,6,4,1]/16-family dyadic
+    # rationals) are exactly representable in bf16, so the only deviation
+    # from the kernel's fp32-accumulate-once policy is the bf16 rounding of
+    # the horizontal leg it consumes.
     return jax.lax.conv_general_dilated(
         sp, kv, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=Co,
-        preferred_element_type=jnp.float32,
-    ).astype(s.dtype)
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
