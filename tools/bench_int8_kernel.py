@@ -102,6 +102,82 @@ def main():
             print(f"  bm={bm} bn={bn}: {d * 1e3:7.3f} ms  "
                   f"{flops / d / 1e12:6.1f} TOP/s", flush=True)
 
+    if os.environ.get("VFM_VAE_INT8_RAW") == "1":
+        # Ceiling probe: bare int8 x int8 -> int32 Mosaic dot, pre-quantized
+        # inputs, int8 narrowing write, NO quantize and NO fp epilogue. This
+        # bounds what ANY software pipelining of the fused kernel could
+        # reach. Measured on v5e (2026-08-17): 175-185 TOP/s across tile
+        # shapes — ~1.07x the measured bf16 matmul rate (173 TFLOP/s), not
+        # the 2x of the spec-sheet int8 peak (394 TOP/s). The MXU int8 path
+        # as lowered by Mosaic does not deliver a doubled rate, so W8A8
+        # serving cannot beat bf16 on this toolchain regardless of kernel
+        # engineering. (The fused kernel's quantize+rescale epilogue costs
+        # only the remaining ~10%: 164 vs 184 TOP/s.)
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        xq8 = jnp.asarray(
+            rng.integers(-127, 128, (M, K)).astype(np.int8)
+        )
+
+        def kern_raw(x_ref, w_ref, o_ref):
+            acc = jax.lax.dot_general(
+                x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o_ref[...] = (acc >> 8).astype(jnp.int8)
+
+        @functools.partial(jax.jit, static_argnames=("bm", "bn"))
+        def raw_int8(x, bm, bn):
+            return pl.pallas_call(
+                kern_raw,
+                grid=(M // bm, N // bn),
+                in_specs=[
+                    pl.BlockSpec((bm, K), lambda m, n: (m, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((K, bn), lambda m, n: (0, n), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda m, n: (m, n), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((M, N), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                ),
+                cost_estimate=pl.CostEstimate(
+                    flops=flops, bytes_accessed=M * K + K * N + M * N,
+                    transcendentals=0,
+                ),
+            )(x, wq)
+
+        def timed_raw(bm, bn, reps=3):
+            @jax.jit
+            def chained_raw(x):
+                def body(_, carry):
+                    c, t = carry
+                    # genuine feedback so XLA can't hoist the loop body
+                    c = c.at[0, 0].add((t & 1).astype(jnp.int8))
+                    y = raw_int8(c, bm, bn)
+                    return c, jnp.sum(y[:1, :1].astype(jnp.int32))
+                _, t = jax.lax.fori_loop(0, ITERS, body, (x, jnp.int32(0)))
+                return t
+
+            float(chained_raw(xq8))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                float(chained_raw(xq8))
+            return (time.perf_counter() - t0) / (reps * ITERS)
+
+        for bm, bn in ((512, 1024), (1024, 1024), (1024, 2048), (2048, 1024)):
+            if M % bm or N % bn:
+                continue
+            try:
+                d = timed_raw(bm, bn)
+            except Exception as e:
+                print(f"raw int8 dot bm={bm} bn={bn}: FAIL {type(e).__name__}", flush=True)
+                continue
+            print(f"raw int8 dot bm={bm} bn={bn}: {d * 1e3:7.3f} ms  "
+                  f"{flops / d / 1e12:6.1f} TOP/s (no quantize, no epilogue)",
+                  flush=True)
+
     a = jax.jit(lambda xc: int8_matmul(xc, wq, ws, b))(x0)
     os.environ["VFM_VAE_NO_PALLAS_INT8"] = "1"
     r = jax.jit(lambda xc: int8_linear_prequant(xc, wq, ws, b))(x0)
