@@ -159,3 +159,22 @@ def test_dit_repa_tap_and_loss():
     # Projector gradient must be nonzero (alignment term reaches it).
     pg = jax.tree_util.tree_leaves(grads["proj"])
     assert any(float(jnp.abs(g).max()) > 0 for g in pg)
+
+
+def test_collect_block_features(tiny_dit):
+    """Per-depth token-mean taps for SE-CKNNA (reference: diffusions/
+    get_block_features_from_lightningdit.py:199-214): embedder, every
+    block, and the final layer, and the velocity output is unchanged."""
+    model, params = tiny_dit
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([0.5, 0.5])
+    y = jnp.asarray([1, 2])
+    out_plain = model.apply({"params": params}, x, t, y)
+    out, feats = model.apply({"params": params}, x, t, y, collect_block_features=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_plain))
+    assert set(feats) == {"embedder", "block_0", "block_1", "final_layer"}
+    assert feats["embedder"].shape == (2, 64)
+    assert feats["block_0"].shape == (2, 64)
+    assert feats["final_layer"].shape == (2, 4)  # token-mean of the velocity head
+    for v in feats.values():
+        assert np.isfinite(np.asarray(v)).all()

@@ -101,3 +101,72 @@ def test_decode_labels_tool(tmp_path):
     mapping = json.loads(out.read_text())
     assert len(mapping) == 40
     assert "00_00000000.png" in mapping
+
+
+def test_dit_block_feature_extraction_cli(tmp_path):
+    """evaluate_alignment dit mode end-to-end: noised stored latents ->
+    per-tap token-mean feature files metrics.py can pair (the reference's
+    diffusions/ extractor family, SURVEY §2.7)."""
+    import yaml
+
+    make_latent_shards(str(tmp_path))
+    cfg = {
+        "model": {"model_type": "LightningDiT-T/1", "in_chans": 8},
+        "data": {"image_size": 64, "num_classes": 10, "latent_norm": True},
+        "vae": {"downsample_ratio": 16},
+    }
+    cfg_path = tmp_path / "dit.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # Tiny snapshot in the trainer's on-disk format.
+    sys.path.insert(0, os.path.join(REPO, "tools", "preprocess_for_lightningdit"))
+    try:
+        from sample import build_dit
+    finally:
+        sys.path.pop(0)
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.train.checkpoint import save_snapshot
+
+    model, input_size, in_chans, _ = build_dit(cfg)
+    assert (input_size, in_chans) == (4, 8)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    snap_path = save_snapshot(str(tmp_path), 0, {"params": params})
+
+    out_prefix = str(tmp_path / "feats")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "evaluate_alignment", "extract_features.py"),
+            "dit", "--config", str(cfg_path), "--snapshot", snap_path,
+            "--latents", str(tmp_path), "--out", out_prefix,
+            "--timestep", "0.5", "--num", "12", "--batch", "6",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "VFM_VAE_PLATFORM": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for tap in ("embedder", "block_0", "block_1", "final_layer"):
+        d = np.load(f"{out_prefix}_{tap}_t0.500.npz")
+        assert d["features"].shape[0] == 12
+        assert list(d["names"][:1]) == ["image_000000"]
+        assert np.isfinite(d["features"]).all()
+
+    # The taps pair through metrics.py (CKNNA between two feature files).
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "evaluate_alignment", "metrics.py"),
+            "--a", f"{out_prefix}_block_0_t0.500.npz",
+            "--b", f"{out_prefix}_block_1_t0.500.npz",
+            "--topk", "3",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "VFM_VAE_PLATFORM": "cpu"},
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "CKNNA" in r2.stdout

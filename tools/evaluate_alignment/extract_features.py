@@ -11,6 +11,14 @@ features per image saved as an .npz {names, features}.
   # vaes/extract_features_by_vfm_vae.py:196-250):
   python tools/evaluate_alignment/extract_features.py vae --config <yaml> \
       --snapshot <dir> --images <dir> --out feats_vae.npz
+
+  # Diffusion block features at a noise level (reference diffusions/
+  # get_block_features_from_lightningdit.py: noise the stored latents to
+  # x_t = (1-t)*z + t*eps, forward the DiT, token-mean after the embedder,
+  # every block, and the final layer; one feature file per tap):
+  python tools/evaluate_alignment/extract_features.py dit --config <dit yaml> \
+      --snapshot <dit snapshot> --latents <shard dir> --out feats_dit \
+      [--timestep 0.5] [--num 1000]
 """
 
 from __future__ import annotations
@@ -42,21 +50,120 @@ def iter_batches(image_dir: str, resolution: int, batch: int):
         yield [os.path.basename(f) for f in chunk], np.stack(imgs)
 
 
+def extract_dit_features(args):
+    """Block features from a trained LightningDiT/SiT at one noise level.
+
+    Mirrors the reference extractor's semantics (diffusions/
+    get_block_features_from_lightningdit.py): stored latents are
+    stats-normalized, noised by linear interpolation x_t = (1-t)*z + t*eps
+    (:216-220), and every tap's token-mean is saved to its own feature
+    file named <out>_<tap>_t<timestep>.npz in the same {names, features}
+    format metrics.py consumes.
+    """
+    from glob import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from safetensors.numpy import load_file
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "preprocess_for_lightningdit")
+    )
+    from sample import build_dit
+
+    from vfm_vae_tpu.train.checkpoint import load_snapshot
+
+    cfg = yaml.safe_load(open(args.config))
+    dcfg = cfg.get("data", {})
+    model, _, in_chans, _ = build_dit(cfg)
+    snap = load_snapshot(os.path.abspath(args.snapshot))
+    params = snap.get("ema") or snap.get("params")
+    params = jax.tree_util.tree_map(jnp.asarray, params)  # host numpy -> device
+
+    # Deterministic pass over the shards in sorted order, first --num.
+    files = sorted(_glob(os.path.join(args.latents, "*.safetensors")))
+    files = [f for f in files if "stats" not in os.path.basename(f)]
+    assert files, f"no latent shards in {args.latents}"
+
+    stats_path = os.path.join(args.latents, "latents_stats.npz")
+    if os.path.isfile(stats_path) and dcfg.get("latent_norm", True):
+        st = np.load(stats_path)
+        lat_mean = st["mean"].astype(np.float32).transpose(0, 2, 3, 1)
+        lat_std = st["std"].astype(np.float32).transpose(0, 2, 3, 1)
+    else:
+        lat_mean = np.zeros((1, 1, 1, in_chans), np.float32)
+        lat_std = np.ones_like(lat_mean)
+    mult = float(dcfg.get("latent_multiplier", 1.0))
+
+    @jax.jit
+    def step(z, y, rng):
+        t = jnp.full((z.shape[0],), args.timestep, jnp.float32)
+        eps = jax.random.normal(rng, z.shape, z.dtype)
+        x_t = (1.0 - args.timestep) * z + args.timestep * eps
+        _, feats = model.apply(
+            {"params": params}, x_t, t, y, collect_block_features=True
+        )
+        return feats
+
+    rng = jax.random.PRNGKey(args.seed)
+    names_all, feats_all = [], {}
+    done = 0
+    for f in files:
+        if done >= args.num:
+            break
+        d = load_file(f)
+        lat = d["latents"].transpose(0, 2, 3, 1)  # stored NCHW -> NHWC
+        labels = d.get("labels", np.zeros((lat.shape[0],), np.int32))
+        take = min(args.num - done, lat.shape[0])
+        for i in range(0, take, args.batch):
+            z = lat[i : i + args.batch].astype(np.float32)
+            z = (z - lat_mean) / lat_std * mult
+            y = np.asarray(labels[i : i + args.batch], np.int32)
+            rng, sub = jax.random.split(rng)
+            feats = step(jnp.asarray(z), jnp.asarray(y), sub)
+            for k, v in feats.items():
+                feats_all.setdefault(k, []).append(np.asarray(v, np.float32))
+            names_all.extend(
+                f"image_{done + i + j:06d}" for j in range(z.shape[0])
+            )
+        done += take
+        print(f"{done}/{args.num} latents", flush=True)
+
+    names = np.array(names_all)
+    for k, chunks in feats_all.items():
+        arr = np.concatenate(chunks)
+        out_path = f"{args.out}_{k}_t{args.timestep:.3f}.npz"
+        np.savez(out_path, names=names, features=arr,
+                 feature_name=k, timestep=args.timestep)
+    print(f"wrote {len(feats_all)} feature files "
+          f"({args.out}_<tap>_t{args.timestep:.3f}.npz), {len(names)} images each")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["vfm", "vae"])
+    ap.add_argument("mode", choices=["vfm", "vae", "dit"])
     ap.add_argument("--model", default="siglip2-large-patch16-512")
     ap.add_argument("--config")
     ap.add_argument("--snapshot")
-    ap.add_argument("--images", required=True)
+    ap.add_argument("--images")
+    ap.add_argument("--latents", help="latent shard dir (dit mode)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--layer", type=int, default=-1)
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--timestep", type=float, default=0.5)
+    ap.add_argument("--num", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.mode == "dit":
+        extract_dit_features(args)
+        return
+    assert args.images, "--images is required for vfm/vae modes"
 
     names_all, feats_all = [], []
 

@@ -18,6 +18,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
+def build_dit(cfg: dict):
+    """LightningDiT from a tool YAML (model_type 'LightningDiT-<size>/<p>').
+    Returns (model, input_size, in_chans, num_classes). Shared with the
+    SE-CKNNA diffusion-feature extractor (evaluate_alignment)."""
+    from vfm_vae_tpu.models.dit import LightningDiT
+
+    mcfg = cfg.get("model", {})
+    dcfg = cfg.get("data", {})
+    # "T" is a dev/test size with no reference counterpart.
+    size_map = {"XL": (1152, 28, 16), "L": (1024, 24, 16), "B": (768, 12, 12),
+                "T": (64, 2, 4)}
+    mt = mcfg.get("model_type", "LightningDiT-XL/1")
+    hidden, depth, heads = size_map[mt.split("-")[1].split("/")[0]]
+    downsample = cfg.get("vae", {}).get("downsample_ratio", 16)
+    input_size = dcfg.get("image_size", 256) // downsample
+    in_chans = mcfg.get("in_chans", 32)
+    num_classes = dcfg.get("num_classes", 1000)
+    model = LightningDiT(
+        input_size=input_size, patch_size=int(mt.split("/")[1]), in_channels=in_chans,
+        hidden_size=hidden, depth=depth, num_heads=heads, num_classes=num_classes,
+        use_qknorm=mcfg.get("use_qknorm", True), use_swiglu=mcfg.get("use_swiglu", True),
+        use_rope=mcfg.get("use_rope", True), use_rmsnorm=mcfg.get("use_rmsnorm", True),
+    )
+    return model, input_size, in_chans, num_classes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -37,7 +63,6 @@ def main():
     import PIL.Image
     import yaml
 
-    from vfm_vae_tpu.models.dit import LightningDiT
     from vfm_vae_tpu.train.checkpoint import load_snapshot
     from vfm_vae_tpu.train.transport import ode_euler_sample, sde_sample
 
@@ -45,22 +70,8 @@ def main():
     from prefetch import build_generator
 
     cfg = yaml.safe_load(open(args.config))
-    mcfg = cfg.get("model", {})
     dcfg = cfg.get("data", {})
-    size_map = {"XL": (1152, 28, 16), "L": (1024, 24, 16), "B": (768, 12, 12)}
-    mt = mcfg.get("model_type", "LightningDiT-XL/1")
-    hidden, depth, heads = size_map[mt.split("-")[1].split("/")[0]]
-    downsample = cfg.get("vae", {}).get("downsample_ratio", 16)
-    input_size = dcfg.get("image_size", 256) // downsample
-    in_chans = mcfg.get("in_chans", 32)
-    num_classes = dcfg.get("num_classes", 1000)
-
-    model = LightningDiT(
-        input_size=input_size, patch_size=int(mt.split("/")[1]), in_channels=in_chans,
-        hidden_size=hidden, depth=depth, num_heads=heads, num_classes=num_classes,
-        use_qknorm=mcfg.get("use_qknorm", True), use_swiglu=mcfg.get("use_swiglu", True),
-        use_rope=mcfg.get("use_rope", True), use_rmsnorm=mcfg.get("use_rmsnorm", True),
-    )
+    model, input_size, in_chans, num_classes = build_dit(cfg)
     snap = load_snapshot(os.path.abspath(args.dit_snapshot))
     dit_params = snap.get("ema") or snap.get("params")
 

@@ -23,3 +23,16 @@ Package map (cf. reference layer map, SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# The hosting environment may pin JAX to a TPU PJRT plugin via sitecustomize,
+# in which case JAX_PLATFORMS alone cannot redirect a subprocess. Honor an
+# explicit override here, before any backend client exists, so tool CLIs can
+# be forced onto a specific backend (tests use VFM_VAE_PLATFORM=cpu).
+import os as _os
+
+_platform = _os.environ.get("VFM_VAE_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+del _os, _platform

@@ -192,6 +192,7 @@ class LightningDiT(nn.Module):
         train: bool = False,
         rng: Optional[jax.Array] = None,
         force_drop_ids: Optional[jnp.ndarray] = None,
+        collect_block_features: bool = False,
     ) -> jnp.ndarray:
         B = x.shape[0]
         D = self.hidden_size
@@ -231,6 +232,13 @@ class LightningDiT(nn.Module):
 
         rope = rope_frequencies(D // self.num_heads, grid) if self.use_rope else None
         tap = None
+        # Per-depth token-mean features for the SE-CKNNA alignment analysis
+        # (reference: tools/evaluate_alignment/diffusions/
+        # get_block_features_from_lightningdit.py:199-214 — embedder,
+        # every block, and the final layer, each mean-pooled over tokens).
+        block_feats = {}
+        if collect_block_features:
+            block_feats["embedder"] = jnp.mean(tokens, axis=1)
         for i in range(self.depth):
             tokens = DiTBlock(
                 D, self.num_heads, self.mlp_ratio,
@@ -239,6 +247,8 @@ class LightningDiT(nn.Module):
             )(tokens, c)
             if self.return_features_at is not None and i == self.return_features_at:
                 tap = tokens
+            if collect_block_features:
+                block_feats[f"block_{i}"] = jnp.mean(tokens, axis=1)
 
         # Final adaLN + linear (zero-init), unpatchify.
         ada = Linear(
@@ -255,11 +265,15 @@ class LightningDiT(nn.Module):
             D, out_ch, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             name="final_linear",
         )(h)
+        if collect_block_features:
+            block_feats["final_layer"] = jnp.mean(h, axis=1)
         h = h.reshape(B, grid, grid, out_ch)
         if p > 1:
             from ..ops.pixelshuffle import pixel_shuffle
 
             h = pixel_shuffle(h, p)
+        if collect_block_features:
+            return h, block_feats
         if self.return_features_at is not None:
             return h, tap
         return h

@@ -56,7 +56,18 @@ def load_snapshot(path: str, template: Optional[dict] = None) -> dict:
     ckpt = _checkpointer()
     if template is not None:
         return ckpt.restore(path, template)
-    return ckpt.restore(path)
+    # Template-free loads restore to HOST numpy arrays: a snapshot written
+    # under one backend records concrete device shardings (e.g. TFRT_CPU_0)
+    # that need not exist in the reading process (tools run under the TPU
+    # plugin reading CPU-written snapshots and vice versa).
+    import orbax.checkpoint as ocp
+
+    pytree_ckpt = ocp.PyTreeCheckpointer()
+    meta = pytree_ckpt.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+    )
+    return pytree_ckpt.restore(path, restore_args=restore_args)
 
 
 def report_key_diff(loaded: dict, template: dict, prefix: str = "") -> Tuple[list, list]:
