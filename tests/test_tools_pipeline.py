@@ -170,3 +170,64 @@ def test_dit_block_feature_extraction_cli(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "CKNNA" in r2.stdout
+
+
+def test_reg_block_feature_extraction_cli(tmp_path):
+    """evaluate_alignment reg mode: posterior-moment shards + a REPA-enabled
+    REG snapshot -> per-block features AND projector_0 (reference
+    diffusions/get_block_features_from_reg.py:243-247)."""
+    import importlib.util
+
+    import yaml
+
+    make_latent_shards(str(tmp_path), c=4, moments=True)
+    cfg = {
+        "model": {"in_chans": 4, "latent_size": 4, "hidden_size": 32,
+                  "depth": 2, "num_heads": 4, "repa_weight": 0.1,
+                  "repa_block": 0, "repa_target_dim": 16},
+        "data": {"num_classes": 10},
+    }
+    cfg_path = tmp_path / "reg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    spec = importlib.util.spec_from_file_location(
+        "reg_train3", os.path.join(REPO, "tools", "preprocess_for_reg", "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod  # flax dataclass transform resolves __module__
+    spec.loader.exec_module(mod)
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.train.checkpoint import save_snapshot
+
+    model, projector, input_size, in_chans, repa_weight = mod.build_reg(cfg)
+    assert (input_size, in_chans, repa_weight) == (4, 4, 0.1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    proj_params = projector.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 32)))["params"]
+    snap_path = save_snapshot(
+        str(tmp_path), 0, {"params": {"dit": params, "proj": proj_params}}
+    )
+
+    out_prefix = str(tmp_path / "regfeats")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "evaluate_alignment", "extract_features.py"),
+            "reg", "--config", str(cfg_path), "--snapshot", snap_path,
+            "--latents", str(tmp_path), "--out", out_prefix,
+            "--timestep", "0.25", "--path-type", "cosine",
+            "--num", "10", "--batch", "5",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "VFM_VAE_PLATFORM": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for tap, dim in (("embedder", 32), ("block_0", 32), ("block_1", 32),
+                     ("projector_0", 16), ("final_layer", 4)):
+        d = np.load(f"{out_prefix}_{tap}_t0.250.npz")
+        assert d["features"].shape == (10, dim), tap
+        assert np.isfinite(d["features"]).all()

@@ -19,6 +19,12 @@ features per image saved as an .npz {names, features}.
   python tools/evaluate_alignment/extract_features.py dit --config <dit yaml> \
       --snapshot <dit snapshot> --latents <shard dir> --out feats_dit \
       [--timestep 0.5] [--num 1000]
+
+  # Same for a REG/SiT snapshot over posterior-moment shards (reference
+  # diffusions/get_block_features_from_reg.py; emits projector_0 when the
+  # snapshot carries REPA projector params):
+  python tools/evaluate_alignment/extract_features.py reg --config <reg yaml> \
+      --snapshot <reg snapshot> --latents <moment shard dir> --out feats_reg
 """
 
 from __future__ import annotations
@@ -51,14 +57,25 @@ def iter_batches(image_dir: str, resolution: int, batch: int):
 
 
 def extract_dit_features(args):
-    """Block features from a trained LightningDiT/SiT at one noise level.
+    """Block features from a trained LightningDiT or REG/SiT at one noise level.
 
-    Mirrors the reference extractor's semantics (diffusions/
-    get_block_features_from_lightningdit.py): stored latents are
-    stats-normalized, noised by linear interpolation x_t = (1-t)*z + t*eps
-    (:216-220), and every tap's token-mean is saved to its own feature
-    file named <out>_<tap>_t<timestep>.npz in the same {names, features}
-    format metrics.py consumes.
+    Mirrors the reference extractor family's semantics (diffusions/
+    get_block_features_from_{lightningdit,reg}.py): stored latents are
+    noised to x_t = alpha(t)*z + sigma(t)*eps (linear or cosine path,
+    get_block_features_from_reg.py:256-271), forwarded once, and every
+    tap's token-mean is saved to its own feature file named
+    <out>_<tap>_t<timestep>.npz in the same {names, features} format
+    metrics.py consumes.
+
+    Mode differences, matching each family's trainer input convention:
+      dit: latents are stats-normalized (latents_stats.npz) like the
+           LightningDiT trainer's loader.
+      reg: shards hold posterior moments (mean || std, 2C channels); the
+           deterministic posterior mean is used (or a posterior sample with
+           --sample-posterior), un-normalized — exactly what the REG trainer
+           feeds the model. When the snapshot carries REPA projector params
+           ({"dit","proj"} split), the projector output at the tapped block
+           is emitted as projector_0 (get_block_features_from_reg.py:243-247).
     """
     from glob import glob as _glob
 
@@ -67,19 +84,33 @@ def extract_dit_features(args):
     import yaml
     from safetensors.numpy import load_file
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(__file__), "..", "preprocess_for_lightningdit")
-    )
-    from sample import build_dit
-
     from vfm_vae_tpu.train.checkpoint import load_snapshot
 
     cfg = yaml.safe_load(open(args.config))
     dcfg = cfg.get("data", {})
-    model, _, in_chans, _ = build_dit(cfg)
     snap = load_snapshot(os.path.abspath(args.snapshot))
     params = snap.get("ema") or snap.get("params")
     params = jax.tree_util.tree_map(jnp.asarray, params)  # host numpy -> device
+
+    projector = proj_params = None
+    if args.mode == "reg":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "preprocess_for_reg")
+        )
+        from train import build_reg
+
+        has_proj = isinstance(params, dict) and set(params) == {"dit", "proj"}
+        model, projector, _, in_chans, _ = build_reg(cfg, with_projector=has_proj)
+        if has_proj:
+            proj_params, params = params["proj"], params["dit"]
+    else:
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(__file__), "..", "preprocess_for_lightningdit"),
+        )
+        from sample import build_dit
+
+        model, _, in_chans, _ = build_dit(cfg)
 
     # Deterministic pass over the shards in sorted order, first --num.
     files = sorted(_glob(os.path.join(args.latents, "*.safetensors")))
@@ -87,23 +118,40 @@ def extract_dit_features(args):
     assert files, f"no latent shards in {args.latents}"
 
     stats_path = os.path.join(args.latents, "latents_stats.npz")
-    if os.path.isfile(stats_path) and dcfg.get("latent_norm", True):
+    if args.mode == "dit" and os.path.isfile(stats_path) and dcfg.get("latent_norm", True):
         st = np.load(stats_path)
         lat_mean = st["mean"].astype(np.float32).transpose(0, 2, 3, 1)
         lat_std = st["std"].astype(np.float32).transpose(0, 2, 3, 1)
     else:
-        lat_mean = np.zeros((1, 1, 1, in_chans), np.float32)
+        lat_mean = np.zeros((1, 1, 1, 1), np.float32)
         lat_std = np.ones_like(lat_mean)
-    mult = float(dcfg.get("latent_multiplier", 1.0))
+    mult = float(dcfg.get("latent_multiplier", 1.0)) if args.mode == "dit" else 1.0
+
+    if args.path_type == "linear":
+        alpha_t, sigma_t = 1.0 - args.timestep, args.timestep
+    else:  # cosine
+        alpha_t = float(np.cos(args.timestep * np.pi / 2))
+        sigma_t = float(np.sin(args.timestep * np.pi / 2))
 
     @jax.jit
     def step(z, y, rng):
         t = jnp.full((z.shape[0],), args.timestep, jnp.float32)
+        if args.mode == "reg":
+            mean, std = jnp.split(z, 2, axis=-1)
+            if args.sample_posterior:
+                rng, r_post = jax.random.split(rng)
+                z = mean + std * jax.random.normal(r_post, mean.shape, mean.dtype)
+            else:
+                z = mean
         eps = jax.random.normal(rng, z.shape, z.dtype)
-        x_t = (1.0 - args.timestep) * z + args.timestep * eps
+        x_t = alpha_t * z + sigma_t * eps
         _, feats = model.apply(
             {"params": params}, x_t, t, y, collect_block_features=True
         )
+        tap = feats.pop("repa_tokens", None)
+        if tap is not None and projector is not None:
+            proj = projector.apply({"params": proj_params}, tap)
+            feats["projector_0"] = jnp.mean(proj, axis=1)
         return feats
 
     rng = jax.random.PRNGKey(args.seed)
@@ -142,7 +190,7 @@ def extract_dit_features(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["vfm", "vae", "dit"])
+    ap.add_argument("mode", choices=["vfm", "vae", "dit", "reg"])
     ap.add_argument("--model", default="siglip2-large-patch16-512")
     ap.add_argument("--config")
     ap.add_argument("--snapshot")
@@ -153,6 +201,10 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--timestep", type=float, default=0.5)
+    ap.add_argument("--path-type", choices=["linear", "cosine"], default="linear")
+    ap.add_argument("--sample-posterior", action="store_true",
+                    help="reg mode: sample z from the stored moments instead "
+                         "of using the posterior mean")
     ap.add_argument("--num", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -160,7 +212,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    if args.mode == "dit":
+    if args.mode in ("dit", "reg"):
         extract_dit_features(args)
         return
     assert args.images, "--images is required for vfm/vae modes"

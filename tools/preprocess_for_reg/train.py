@@ -55,32 +55,30 @@ def moment_batches(data_dir: str, batch_size: int, rng: np.random.Generator):
                 )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--max-steps", type=int, default=None)
-    args = ap.parse_args()
+def build_reg(cfg: dict, with_projector: bool = None):
+    """SiT-style LightningDiT + optional REPA projector from a REG YAML.
 
+    Returns (model, projector, input_size, in_chans, repa_weight). The model
+    taps `repa_block` (return_features_at) whenever a projector is built.
+    Shared between the trainer and the SE-CKNNA diffusion-feature extractor
+    (tools/evaluate_alignment), which needs the identical construction to
+    restore trainer snapshots.
+    """
     import jax
-    import jax.numpy as jnp
-    import optax
-    import yaml
+    from flax import linen as _nn
 
     from vfm_vae_tpu.models.dit import LightningDiT
-    from vfm_vae_tpu.parallel import local_mesh, shard_batch
-    from vfm_vae_tpu.train.transport import flow_matching_loss
-    from vfm_vae_tpu.train.checkpoint import save_snapshot
+    from vfm_vae_tpu.models.layers import Linear as _Linear
 
-    cfg = yaml.safe_load(open(args.config))
     mcfg = cfg.get("model", {})
-    tcfg = cfg.get("train", {})
     dcfg = cfg.get("data", {})
-
     in_chans = mcfg.get("in_chans", 32)
     input_size = mcfg.get("latent_size", 16)
     repa_weight = float(mcfg.get("repa_weight", 0.0))
     repa_block = int(mcfg.get("repa_block", 8))
     repa_dim = int(mcfg.get("repa_target_dim", 1024))
+    if with_projector is None:
+        with_projector = repa_weight > 0
     model = LightningDiT(
         input_size=input_size, patch_size=1, in_channels=in_chans,
         hidden_size=mcfg.get("hidden_size", 1152), depth=mcfg.get("depth", 28),
@@ -90,15 +88,8 @@ def main():
         use_swiglu=mcfg.get("use_swiglu", False),
         use_rope=mcfg.get("use_rope", False),
         use_rmsnorm=mcfg.get("use_rmsnorm", False),
-        return_features_at=repa_block if repa_weight > 0 else None,
+        return_features_at=repa_block if with_projector else None,
     )
-
-    batch_size = tcfg.get("global_batch_size", 256)
-    rng_np = np.random.default_rng(tcfg.get("global_seed", 0))
-    it = moment_batches(dcfg["data_path"], batch_size, rng_np)
-
-    from vfm_vae_tpu.models.layers import Linear as _Linear
-    from flax import linen as _nn
 
     class _Projector(_nn.Module):
         """REPA projector: DiT tokens -> VFM feature dim (MLP, silu)."""
@@ -111,7 +102,35 @@ def main():
             h = jax.nn.silu(h)
             return _Linear(2 * self.out_dim, self.out_dim, name="fc2")(h)
 
-    projector = _Projector(repa_dim) if repa_weight > 0 else None
+    projector = _Projector(repa_dim) if with_projector else None
+    return model, projector, input_size, in_chans, repa_weight
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-steps", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import yaml
+
+    from vfm_vae_tpu.parallel import local_mesh, shard_batch
+    from vfm_vae_tpu.train.transport import flow_matching_loss
+    from vfm_vae_tpu.train.checkpoint import save_snapshot
+
+    cfg = yaml.safe_load(open(args.config))
+    mcfg = cfg.get("model", {})
+    tcfg = cfg.get("train", {})
+    dcfg = cfg.get("data", {})
+
+    model, projector, input_size, in_chans, repa_weight = build_reg(cfg)
+
+    batch_size = tcfg.get("global_batch_size", 256)
+    rng_np = np.random.default_rng(tcfg.get("global_seed", 0))
+    it = moment_batches(dcfg["data_path"], batch_size, rng_np)
 
     params = model.init(
         jax.random.PRNGKey(0),

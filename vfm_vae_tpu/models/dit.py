@@ -273,6 +273,12 @@ class LightningDiT(nn.Module):
 
             h = pixel_shuffle(h, p)
         if collect_block_features:
+            # Raw (un-pooled) tokens at the REPA tap so callers can run the
+            # trained projector and pool its output (the reference's REG
+            # extractor emits per-projector features: diffusions/
+            # get_block_features_from_reg.py:243-247).
+            if tap is not None:
+                block_feats["repa_tokens"] = tap
             return h, block_feats
         if self.return_features_at is not None:
             return h, tap
