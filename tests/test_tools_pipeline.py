@@ -172,6 +172,87 @@ def test_dit_block_feature_extraction_cli(tmp_path):
     assert "CKNNA" in r2.stdout
 
 
+def test_prefetch_cli_store_images(tmp_path):
+    """prefetch.py end-to-end as a CLI: WDS tars -> ADM crop -> encode ->
+    safetensors shards + stats, and --store-images dumps the cropped PNGs
+    with an ADM dataset json (reference preprocess_for_reg/prefetch.py:264-270)."""
+    import yaml
+
+    pytest.importorskip("transformers")
+    import torch
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    from tests.test_data import make_shards, write_c2t
+    from tests.test_loop import make_cfg
+
+    vfm = tmp_path / "siglip2-tiny-patch8-32"
+    torch.manual_seed(0)
+    SiglipVisionModel(SiglipVisionConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8, num_channels=3,
+    )).save_pretrained(vfm)
+    data = tmp_path / "shards"
+    data.mkdir()
+    make_shards(data, n_shards=1, per_shard=8, size=40)
+    cfg = make_cfg(tmp_path, str(vfm), str(data), write_c2t(tmp_path))
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # Snapshot with the generator's init params in the trainer's key layout.
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.core.config import derive_config, load_config
+    from vfm_vae_tpu.core.registry import get_class_by_name
+    from vfm_vae_tpu.train.checkpoint import save_snapshot
+
+    c = derive_config(load_config(str(cfg_path)))
+    gk = {k: v for k, v in c["G_kwargs"].items() if k != "class_name"}
+    G = get_class_by_name("networks.generator.Generator")(**gk)
+    res = G.img_resolution
+    variables = jax.jit(
+        lambda r: G.init({"params": r}, jnp.zeros((1, res, res, 3)), train=False)
+    )(jax.random.PRNGKey(0))
+    snap_path = save_snapshot(str(tmp_path / "snap"), 0, {
+        "g_params": variables["params"], "g_bufs": variables.get("buffers", {}),
+    })
+
+    out = tmp_path / "latents"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "preprocess_for_lightningdit", "prefetch.py"),
+            "--config", str(cfg_path), "--snapshot", snap_path,
+            "--data", str(data), "--out", str(out),
+            "--batch", "4", "--shard-size", "8", "--resolution", str(res),
+            "--store-images",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "VFM_VAE_PLATFORM": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    from safetensors.numpy import load_file
+
+    shard = load_file(str(out / "latents_rank00_shard000.safetensors"))
+    zres, zdim = G.z_resolution, G.z_dimension
+    assert shard["latents"].shape == (8, zdim, zres, zres)  # stored NCHW
+    assert shard["latents_flip"].shape == shard["latents"].shape
+    assert shard["labels"].shape == (8,)
+    assert np.isfinite(shard["latents"]).all()
+    st = np.load(str(out / "latents_stats.npz"))
+    assert st["mean"].shape == (1, zdim, 1, 1)
+
+    ds = json.loads((out / "images" / "dataset_rank0.json").read_text())
+    assert len(ds["labels"]) == 8
+    rel, label = ds["labels"][0]
+    png = out / "images" / rel
+    assert png.is_file() and int(label) == int(rel.split("/")[0])
+    import PIL.Image
+
+    assert PIL.Image.open(png).size == (res, res)
+
+
 def test_reg_block_feature_extraction_cli(tmp_path):
     """evaluate_alignment reg mode: posterior-moment shards + a REPA-enabled
     REG snapshot -> per-block features AND projector_0 (reference

@@ -79,6 +79,11 @@ def main(return_moments: bool = False):
     ap.add_argument("--store-vfm-features", action="store_true",
                     help="also store the VFM last-layer tokens pooled to the "
                          "latent grid (fp16) as REPA alignment targets")
+    ap.add_argument("--store-images", action="store_true",
+                    help="also dump the ADM-cropped inputs as PNGs under "
+                         "<out>/images/<class>/<key>.png with a per-rank "
+                         "dataset json (reference preprocess_for_reg/"
+                         "prefetch.py:264-270)")
     args = ap.parse_args()
 
     import jax
@@ -147,6 +152,17 @@ def main(return_moments: bool = False):
         shard_idx += 1
         lat_buf, flip_buf, label_buf, feat_buf = [], [], [], []
 
+    images_dir = os.path.join(args.out, "images")
+    image_records = []
+
+    def store_image(arr: np.ndarray, key: str, label: int):
+        """ADM ImageFolder layout: images/<class>/<key>.png + a record in
+        the dataset-json labels format [["<class>/<key>.png", label], ...]."""
+        sub = os.path.join(images_dir, f"{label:04d}")
+        os.makedirs(sub, exist_ok=True)
+        PIL.Image.fromarray(arr).save(os.path.join(sub, f"{key}.png"))
+        image_records.append([f"{label:04d}/{key}.png", int(label)])
+
     imgs, labels = [], []
     for tar in tars:
         for raw in iter_tar_samples(tar):
@@ -154,8 +170,13 @@ def main(return_moments: bool = False):
             if img_bytes is None:
                 continue
             img = PIL.Image.open(io.BytesIO(img_bytes))
-            imgs.append(adm_center_crop(img, args.resolution))
-            labels.append(int(raw.get("cls", b"0").decode() or 0))
+            crop = adm_center_crop(img, args.resolution)
+            label = int(raw.get("cls", b"0").decode() or 0)
+            if args.store_images:
+                key = raw.get("__key__", b"").decode() or f"img{len(image_records):08d}"
+                store_image(crop, key, label)
+            imgs.append(crop)
+            labels.append(label)
             if len(imgs) == args.batch:
                 x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
                 rng, sub = jax.random.split(rng)
@@ -169,6 +190,13 @@ def main(return_moments: bool = False):
                 if sum(a.shape[0] for a in lat_buf) >= args.shard_size:
                     flush()
     flush()
+
+    if args.store_images and image_records:
+        import json
+
+        with open(os.path.join(images_dir, f"dataset_rank{rank}.json"), "w") as f:
+            json.dump({"labels": image_records}, f, indent=1)
+        print(f"wrote {len(image_records)} images + dataset_rank{rank}.json")
 
     # Channel stats over the first shard sample (reference prefetch.py:58-83).
     if rank == 0 and shard_idx > 0:
