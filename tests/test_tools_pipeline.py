@@ -172,10 +172,11 @@ def test_dit_block_feature_extraction_cli(tmp_path):
     assert "CKNNA" in r2.stdout
 
 
-def test_prefetch_cli_store_images(tmp_path):
-    """prefetch.py end-to-end as a CLI: WDS tars -> ADM crop -> encode ->
-    safetensors shards + stats, and --store-images dumps the cropped PNGs
-    with an ADM dataset json (reference preprocess_for_reg/prefetch.py:264-270)."""
+@pytest.fixture(scope="module")
+def gen_env(tmp_path_factory):
+    """Tiny generator environment shared by the tool-CLI tests: a tiny VFM
+    checkpoint, WDS tars, a trainer-schema YAML, and an orbax snapshot with
+    the generator's init params in the trainer's key layout."""
     import yaml
 
     pytest.importorskip("transformers")
@@ -185,20 +186,20 @@ def test_prefetch_cli_store_images(tmp_path):
     from tests.test_data import make_shards, write_c2t
     from tests.test_loop import make_cfg
 
-    vfm = tmp_path / "siglip2-tiny-patch8-32"
+    root = tmp_path_factory.mktemp("toolcli")
+    vfm = root / "siglip2-tiny-patch8-32"
     torch.manual_seed(0)
     SiglipVisionModel(SiglipVisionConfig(
         hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
         intermediate_size=128, image_size=32, patch_size=8, num_channels=3,
     )).save_pretrained(vfm)
-    data = tmp_path / "shards"
+    data = root / "shards"
     data.mkdir()
     make_shards(data, n_shards=1, per_shard=8, size=40)
-    cfg = make_cfg(tmp_path, str(vfm), str(data), write_c2t(tmp_path))
-    cfg_path = tmp_path / "cfg.yaml"
+    cfg = make_cfg(root, str(vfm), str(data), write_c2t(root))
+    cfg_path = root / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
 
-    # Snapshot with the generator's init params in the trainer's key layout.
     import jax
     import jax.numpy as jnp
 
@@ -213,24 +214,36 @@ def test_prefetch_cli_store_images(tmp_path):
     variables = jax.jit(
         lambda r: G.init({"params": r}, jnp.zeros((1, res, res, 3)), train=False)
     )(jax.random.PRNGKey(0))
-    snap_path = save_snapshot(str(tmp_path / "snap"), 0, {
+    snap_path = save_snapshot(str(root / "snap"), 0, {
         "g_params": variables["params"], "g_bufs": variables.get("buffers", {}),
     })
+    return {"root": root, "cfg": str(cfg_path), "snap": snap_path,
+            "data": str(data), "G": G, "res": res}
 
-    out = tmp_path / "latents"
+
+def run_tool(*argv, check=True):
     r = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "preprocess_for_lightningdit", "prefetch.py"),
-            "--config", str(cfg_path), "--snapshot", snap_path,
-            "--data", str(data), "--out", str(out),
-            "--batch", "4", "--shard-size", "8", "--resolution", str(res),
-            "--store-images",
-        ],
-        capture_output=True, text=True, cwd=REPO,
+        [sys.executable, *argv], capture_output=True, text=True, cwd=REPO,
         env={**os.environ, "VFM_VAE_PLATFORM": "cpu"},
     )
-    assert r.returncode == 0, r.stderr[-3000:]
+    if check:
+        assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])
+    return r
+
+
+def test_prefetch_cli_store_images(gen_env, tmp_path):
+    """prefetch.py end-to-end as a CLI: WDS tars -> ADM crop -> encode ->
+    safetensors shards + stats, and --store-images dumps the cropped PNGs
+    with an ADM dataset json (reference preprocess_for_reg/prefetch.py:264-270)."""
+    G, res = gen_env["G"], gen_env["res"]
+    out = tmp_path / "latents"
+    run_tool(
+        os.path.join(REPO, "tools", "preprocess_for_lightningdit", "prefetch.py"),
+        "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+        "--data", gen_env["data"], "--out", str(out),
+        "--batch", "4", "--shard-size", "8", "--resolution", str(res),
+        "--store-images",
+    )
 
     from safetensors.numpy import load_file
 
@@ -251,6 +264,153 @@ def test_prefetch_cli_store_images(tmp_path):
     import PIL.Image
 
     assert PIL.Image.open(png).size == (res, res)
+
+
+def test_decode_images_and_npz_cli(gen_env, tmp_path):
+    """decode_latents_to_images.py + save_images_as_npz.py: stored latent
+    shards -> vae.decode PNGs -> ADM-evaluator npz (reference tools/decode/)."""
+    G, res = gen_env["G"], gen_env["res"]
+    make_latent_shards(str(tmp_path), n=6, c=G.z_dimension, hw=G.z_resolution)
+    out = tmp_path / "pngs"
+    run_tool(
+        os.path.join(REPO, "tools", "decode", "decode_latents_to_images.py"),
+        "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+        "--latents", str(tmp_path), "--out", str(out), "--batch", "3",
+    )
+    import PIL.Image
+
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 6
+    assert PIL.Image.open(pngs[0]).size == (res, res)
+
+    npz = tmp_path / "samples.npz"
+    run_tool(
+        os.path.join(REPO, "tools", "decode", "save_images_as_npz.py"),
+        "--images", str(out), "--out", str(npz), "--max", "5",
+    )
+    d = np.load(npz)
+    assert d["arr_0"].shape == (5, res, res, 3) and d["arr_0"].dtype == np.uint8
+
+
+def test_reconstruct_evaluate_extract_cli(gen_env, tmp_path):
+    """The rFID eval trio (reference tools/reconstruct/): extract.py untars a
+    validation set, reconstruct.py pairs inputs/ and outputs/ through the
+    generator, evaluate.py reports paired LPIPS/PSNR/SSIM."""
+    out_imgs = tmp_path / "val"
+    run_tool(
+        os.path.join(REPO, "tools", "reconstruct", "extract.py"),
+        "--tars", gen_env["data"], "--out", str(out_imgs),
+    )
+    n_val = len(list(out_imgs.iterdir()))
+    assert n_val == 8
+
+    rec = tmp_path / "rec"
+    run_tool(
+        os.path.join(REPO, "tools", "reconstruct", "reconstruct.py"),
+        "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+        "--data", str(out_imgs), "--out", str(rec), "--batch", "4",
+        "--max-images", "6",
+    )
+    assert len(list((rec / "inputs").glob("*.png"))) == 6
+    assert len(list((rec / "outputs").glob("*.png"))) == 6
+
+    r = run_tool(
+        os.path.join(REPO, "tools", "reconstruct", "evaluate.py"),
+        "--inputs", str(rec / "inputs"), "--outputs", str(rec / "outputs"),
+        "--batch", "3",
+    )
+    assert "psnr" in r.stdout.lower()
+
+
+def test_alignment_preprocess_cli(tmp_path):
+    """evaluate_alignment/preprocess.py: deterministic equivariance records
+    + noise sets (reference preprocess.py:39-110)."""
+    import PIL.Image
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(src / f"im{i}.png")
+
+    out = tmp_path / "eq"
+    run_tool(
+        os.path.join(REPO, "tools", "evaluate_alignment", "preprocess.py"),
+        "equivariance", "--input-dir", str(src), "--output-dir", str(out),
+    )
+    rec = json.loads((out / "equivariance_transforms.json").read_text())
+    assert len(rec) == 4
+    assert all(r["rotation"] in (0, 90, 180, 270) for r in rec.values())
+
+    out2 = tmp_path / "noise"
+    run_tool(
+        os.path.join(REPO, "tools", "evaluate_alignment", "preprocess.py"),
+        "noise", "--input-dir", str(src), "--output-dir", str(out2),
+        "--noise-levels", "0.1", "--resolution", "16",
+    )
+    assert len(list((out2 / "noise_0.100").glob("*.png"))) == 4
+    # Determinism: same seed -> byte-identical noise images.
+    out3 = tmp_path / "noise2"
+    run_tool(
+        os.path.join(REPO, "tools", "evaluate_alignment", "preprocess.py"),
+        "noise", "--input-dir", str(src), "--output-dir", str(out3),
+        "--noise-levels", "0.1", "--resolution", "16",
+    )
+    a = (out2 / "noise_0.100" / "im0.png").read_bytes()
+    b = (out3 / "noise_0.100" / "im0.png").read_bytes()
+    assert a == b
+
+
+def test_lightningdit_sample_cli(gen_env, tmp_path):
+    """sample.py end-to-end: tiny DiT snapshot + the tiny VAE snapshot ->
+    ODE-euler samples decoded to PNGs (reference
+    tools/preprocess_for_lightningdit/sample.py)."""
+    import yaml
+
+    G = gen_env["G"]
+    cfg = {
+        "model": {"model_type": "LightningDiT-T/1", "in_chans": G.z_dimension},
+        "data": {"image_size": G.img_resolution, "num_classes": 10,
+                 "latent_norm": False},
+        "vae": {"downsample_ratio": G.img_resolution // G.z_resolution},
+    }
+    cfg_path = tmp_path / "dit.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    sys.path.insert(0, os.path.join(REPO, "tools", "preprocess_for_lightningdit"))
+    try:
+        from sample import build_dit
+    finally:
+        sys.path.pop(0)
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.train.checkpoint import save_snapshot
+
+    model, input_size, in_chans, _ = build_dit(cfg)
+    assert (input_size, in_chans) == (G.z_resolution, G.z_dimension)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, input_size, input_size, in_chans)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    dit_snap = save_snapshot(str(tmp_path / "dit_snap"), 0, {"params": params})
+
+    out = tmp_path / "samples"
+    run_tool(
+        os.path.join(REPO, "tools", "preprocess_for_lightningdit", "sample.py"),
+        "--config", str(cfg_path), "--dit-snapshot", dit_snap,
+        "--vae-config", gen_env["cfg"], "--vae-snapshot", gen_env["snap"],
+        "--out", str(out), "--num", "4", "--batch", "2", "--steps", "2",
+        "--mode", "ode",
+    )
+    import PIL.Image
+
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 4
+    assert PIL.Image.open(pngs[0]).size == (G.img_resolution, G.img_resolution)
 
 
 def test_reg_block_feature_extraction_cli(tmp_path):

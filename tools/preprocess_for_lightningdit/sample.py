@@ -74,6 +74,9 @@ def main():
     model, input_size, in_chans, num_classes = build_dit(cfg)
     snap = load_snapshot(os.path.abspath(args.dit_snapshot))
     dit_params = snap.get("ema") or snap.get("params")
+    # Snapshots restore as host numpy; as a jit closure constant a numpy
+    # class-embedding table cannot be indexed by a traced label array.
+    dit_params = jax.tree_util.tree_map(jnp.asarray, dit_params)
 
     G, vae_vars, _ = build_generator(args.vae_config, args.vae_snapshot)
 
