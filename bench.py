@@ -28,7 +28,9 @@ def main():
 
     fn, (variables, _) = entry()
 
-    jfn = jax.jit(fn)
+    # The forcing scalar is computed inside the jitted program (one dispatch
+    # per iteration instead of model+sum as two RPCs through the tunnel).
+    jfn = jax.jit(lambda v, x: jnp.sum(fn(v, x)))
     img_per_sec = 0.0
     # Largest batch that fits HBM wins; fall back on compile-time OOM.
     for batch in (128, 96, 64, 32):
@@ -39,13 +41,21 @@ def main():
             # Warm up / compile. Force a host read of a scalar derived from
             # the output — block_until_ready alone does not guarantee
             # execution through the axon tunnel and reports fantasy numbers.
-            _ = float(jnp.sum(jfn(variables, img)))
+            _ = float(jfn(variables, img))
 
-            # Timed runs (each forces the result to host).
-            iters = 5
+            # Timed runs, depth-2 pipeline: dispatch iteration i+1 before
+            # forcing iteration i's scalar to host, so the tunnel's RPC
+            # latency overlaps device compute (a serving driver keeps the
+            # device queue full the same way). Every iteration's output is
+            # still read back inside the timed window.
+            iters = 8
+            outs = []
             t0 = time.perf_counter()
-            for _ in range(iters):
-                _ = float(jnp.sum(jfn(variables, img)))
+            for i in range(iters):
+                outs.append(jfn(variables, img))
+                if i >= 1:
+                    _ = float(outs[i - 1])
+            _ = float(outs[-1])
             dt = time.perf_counter() - t0
             img_per_sec = batch * iters / dt
             break

@@ -322,6 +322,31 @@ def test_reconstruct_evaluate_extract_cli(gen_env, tmp_path):
     assert "psnr" in r.stdout.lower()
 
 
+def test_fidelity_cli(tmp_path):
+    """fidelity.py (native stand-in for the reference's external
+    torch-fidelity step, README:341-357): folder-vs-folder FID + IS with the
+    streaming InceptionV3 detector."""
+    import PIL.Image
+
+    rng = np.random.default_rng(0)
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+        for i in range(6):
+            PIL.Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            ).save(tmp_path / d / f"{i}.png")
+
+    r = run_tool(
+        os.path.join(REPO, "tools", "reconstruct", "fidelity.py"),
+        "--input1", str(tmp_path / "a"), "--input2", str(tmp_path / "b"),
+        "--fid", "--isc", "--batch", "3",
+    )
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(res) == {"rfid", "is_mean", "is_std"}
+    assert np.isfinite(list(res.values())).all()
+    assert "random-init" in r.stderr  # no weights -> loud warning
+
+
 def test_alignment_preprocess_cli(tmp_path):
     """evaluate_alignment/preprocess.py: deterministic equivariance records
     + noise sets (reference preprocess.py:39-110)."""
@@ -411,6 +436,18 @@ def test_lightningdit_sample_cli(gen_env, tmp_path):
     pngs = sorted(out.glob("*.png"))
     assert len(pngs) == 4
     assert PIL.Image.open(pngs[0]).size == (G.img_resolution, G.img_resolution)
+
+    # The REG wrapper drives the same sampler in SDE mode (reference
+    # preprocess_for_reg/sample.py: SDE with cfg; delegates with --mode sde).
+    out2 = tmp_path / "samples_sde"
+    run_tool(
+        os.path.join(REPO, "tools", "preprocess_for_reg", "sample.py"),
+        "--config", str(cfg_path), "--dit-snapshot", dit_snap,
+        "--vae-config", gen_env["cfg"], "--vae-snapshot", gen_env["snap"],
+        "--out", str(out2), "--num", "2", "--batch", "2", "--steps", "2",
+        "--cfg", "2.0",
+    )
+    assert len(sorted(out2.glob("*.png"))) == 2
 
 
 def test_reg_block_feature_extraction_cli(tmp_path):

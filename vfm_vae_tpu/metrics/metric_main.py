@@ -86,6 +86,7 @@ def inception_score(probs=None, num_splits: int = 10, **_):
     probs = np.asarray(probs)
     scores = []
     n = probs.shape[0]
+    num_splits = max(1, min(num_splits, n))  # empty splits would yield nan
     for i in range(num_splits):
         part = probs[i * n // num_splits : (i + 1) * n // num_splits]
         kl = part * (np.log(part + 1e-10) - np.log(part.mean(axis=0, keepdims=True) + 1e-10))
