@@ -79,7 +79,7 @@ def main():
             ("no-multiscale", dict(use_multiscale_output=False)),
             ("no-legacy-noise", dict(legacy=False)),
         ]
-        z = jnp.asarray(rng.normal(size=(B, 16, 16, 32)), jnp.float32)
+        z = jax.random.normal(jax.random.PRNGKey(7), (B, 16, 16, 32), jnp.float32)
         base = None
         for name, ov in variants:
             G = flagship_generator(**ov)
@@ -105,7 +105,7 @@ def main():
     from vfm_vae_tpu.models.layers import Conv2d, GroupNorm32, trunc_normal_init
 
     w_dim = 512
-    w = jnp.asarray(rng.normal(size=(B, w_dim)), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(9), (B, w_dim), jnp.float32)
 
     # (resolution, channels, dw kernel) per flagship block
     shapes = [(8, 512, 5), (16, 512, 5), (32, 512, 7), (64, 512, 7),
@@ -114,7 +114,7 @@ def main():
     print("\n-- ConvNeXt layer (dw + GN + mod-MLP + residual), bf16 --")
     for res, C, k in shapes:
         m = ConvNeXtSynthesisLayer(C, w_dim, k, block_index=0, legacy=False)
-        x = jnp.asarray(rng.normal(size=(B, res, res, C)), jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, C), jnp.bfloat16)
         v = jax.jit(lambda r: m.init({"params": r}, x, w))(jax.random.PRNGKey(0))
         dt = time_op(lambda xx: m.apply(v, xx, w), x) * 1e3 / B
         fl = 16 * C * C * res * res * 2 / 1e9  # pw expand+contract GFLOP/img
@@ -123,7 +123,7 @@ def main():
 
     print("\n-- dwconv alone (VPU) --")
     for res, C, k in shapes:
-        x = jnp.asarray(rng.normal(size=(B, res, res, C)), jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, C), jnp.bfloat16)
         m = Conv2d(C, C, k, padding=k // 2, groups=C,
                    kernel_init=trunc_normal_init(0.02), name="dw")
         v = jax.jit(lambda r: m.init({"params": r}, x))(jax.random.PRNGKey(0))
@@ -132,7 +132,7 @@ def main():
 
     print("\n-- GroupNorm32 alone --")
     for res, C, _ in shapes:
-        x = jnp.asarray(rng.normal(size=(B, res, res, C)), jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, C), jnp.bfloat16)
         m = GroupNorm32(min(32, C // 4), C)
         v = jax.jit(lambda r: m.init({"params": r}, x))(jax.random.PRNGKey(0))
         dt = time_op(lambda xx: m.apply(v, xx), x) * 1e3 / B
@@ -142,7 +142,7 @@ def main():
     for cin, cout, res, blur in [(512, 512, 8, "3x3"), (512, 512, 16, "3x3"),
                                  (512, 512, 32, "5x5"), (512, 256, 64, "5x5"),
                                  (256, 128, 128, "5x5")]:
-        x = jnp.asarray(rng.normal(size=(B, res, res, cin)), jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, cin), jnp.bfloat16)
         m = SeparableUpsampleWithFixedBlur(cin, cout, blur_kernel=blur)
         v = jax.jit(lambda r: m.init({"params": r}, x))(jax.random.PRNGKey(0))
         # time_op needs carry-shape stability: pad channels back to cin and
@@ -163,7 +163,7 @@ def main():
 
     print("\n-- SelfAttentionBlock --")
     for res, C in [(8, 512), (16, 512), (32, 512)]:
-        x = jnp.asarray(rng.normal(size=(B, res, res, C)), jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, C), jnp.bfloat16)
         m = SelfAttentionBlock(C, dim_head=C // 8, heads=8, ff_mult=4)
         v = jax.jit(lambda r: m.init({"params": r}, x))(jax.random.PRNGKey(0))
         dt = time_op(lambda xx: m.apply(v, xx), x) * 1e3 / B

@@ -10,6 +10,7 @@ matters (pixel unshuffle, VF loss, the z output, NHWC).
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -59,15 +60,31 @@ class PlainAttention(nn.Module):
         v_bias = self.param("v_bias", nn.initializers.zeros, (wide,))
         bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
 
-        qkv = x @ qkv_w.astype(x.dtype) + bias.astype(x.dtype)
-        # Contiguous last-axis split (the packed layout is [q | k | v]
-        # blocks) instead of a (B, N, 3, heads, hd) reshape + middle-dim
-        # slices — the latter's strided views knocked XLA into slow layouts
-        # for the downstream attention in-context.
-        q, k, v = (t.reshape(B, N, self.num_heads, head_dim)
-                   for t in jnp.split(qkv, 3, axis=-1))
-
-        out = dot_product_attention(q, k, v, prefer_flash=True)  # (B, N, heads, hd)
+        variant = os.environ.get("VFM_VAE_ADAPTER_ATTN", "3mm-xla")
+        if variant.startswith("3mm"):
+            # Three separate (in, wide) matmuls from trace-time slices of the
+            # packed weight (checkpoint layout unchanged) — the same pattern
+            # as the ViT encoder blocks, which XLA fuses into its fast
+            # attention form. The packed single matmul + split was 2x slower
+            # in-context: its slice/reshape layout copies showed 0.43 ms/img
+            # at B128 (adapter.py split lines in the serving trace).
+            w = qkv_w.astype(x.dtype)
+            q = x @ w[:, :wide] + q_bias.astype(x.dtype)
+            k = x @ w[:, wide:2 * wide]
+            v = x @ w[:, 2 * wide:] + v_bias.astype(x.dtype)
+            q = q.reshape(B, N, self.num_heads, head_dim)
+            k = k.reshape(B, N, self.num_heads, head_dim)
+            v = v.reshape(B, N, self.num_heads, head_dim)
+            out = dot_product_attention(q, k, v, prefer_flash=variant == "3mm-flash")
+        else:
+            qkv = x @ qkv_w.astype(x.dtype) + bias.astype(x.dtype)
+            # Contiguous last-axis split (the packed layout is [q | k | v]
+            # blocks) instead of a (B, N, 3, heads, hd) reshape + middle-dim
+            # slices — the latter's strided views knocked XLA into slow
+            # layouts for the downstream attention in-context.
+            q, k, v = (t.reshape(B, N, self.num_heads, head_dim)
+                       for t in jnp.split(qkv, 3, axis=-1))
+            out = dot_product_attention(q, k, v, prefer_flash=True)
 
         if self.in_dim > self.out_dim:
             out = jnp.mean(out, axis=2)  # head mean -> (B, N, hd)

@@ -276,13 +276,21 @@ class Linear(nn.Module):
     bias_init: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         bound = 1.0 / math.sqrt(self.in_features)
 
         def default_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         w = self.param("weight", self.kernel_init or default_init, (self.in_features, self.out_features))
+        if return_params:
+            # Escape hatch for fused callers (e.g. the ViT encoder's packed
+            # qkv matmul) — same pattern as Conv2d above.
+            b = (
+                self.param("bias", self.bias_init or default_init, (self.out_features,))
+                if self.use_bias else None
+            )
+            return w, b
         if _INT8_SCOPE[0]:
             from ..ops.quantized import int8_linear, int8_linear_prequant
 

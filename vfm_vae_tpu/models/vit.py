@@ -62,6 +62,11 @@ class MultiHeadSelfAttention(nn.Module):
         B, N, _ = x.shape
         h = self.num_heads
         d = self.dim // h
+        # Separate q/k/v matmuls on purpose: a packed (D, 3D) matmul + slices
+        # wins on the ISOLATED block (405 -> 167 us/img/layer,
+        # tools/bench_attention.py) but LOSES in context (87.0 -> 80.8
+        # img/s/chip end-to-end) — the slices knock XLA off its fused
+        # attention pattern, which already merges the three projections here.
         q = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="q_proj")(x)
         k = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="k_proj")(x)
         v = Linear(self.dim, self.dim, use_bias=self.qkv_bias, name="v_proj")(x)
