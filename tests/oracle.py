@@ -188,6 +188,22 @@ def import_reference(module: str):
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib
+    import os
+
+    top = module.split(".")[0]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(os.path.join(repo_root, top)):
+        # Name collision between a reference package and one of our own
+        # top-level directories (e.g. `tools`): whichever got imported first
+        # wins the sys.modules cache, so the dotted import is test-order
+        # dependent. Load the reference file directly under a mangled module
+        # name instead. (Only safe for leaf modules without sibling imports,
+        # which is all we use this path for.)
+        path = os.path.join(REFERENCE_ROOT, *module.split(".")) + ".py"
+        spec = importlib.util.spec_from_file_location("_ref_" + module.replace(".", "_"), path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
 
     return importlib.import_module(module)
 
