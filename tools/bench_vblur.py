@@ -7,12 +7,20 @@ alone showed 0.19 ms/img (fused_upsample.py:212) in the B128 serving trace,
 on top of 0.29 ms/img for the conv (:221).
 
 Variants (all numerically identical in exact arithmetic):
-  pad      - jnp.pad(edge) + valid conv              (today)
+  pad      - jnp.pad(edge) + valid conv              (previous)
   corr     - zero-SAME conv + boundary-row correction terms
-             out[:, i] += (sum of clamped taps) * s[:, 0 or -1]
-  slices   - conv on interior + separate small convs for the edge bands
+  mm/mm2   - ONE banded Toeplitz matmul contracting H on the MXU; the
+             replicate pad folds into the matrix exactly (err 0.0)
 
-  python tools/bench_vblur.py [--batch 128]
+Measured (v5e, B64, bf16; us/img):
+  (128,128,512): pad 139.6   corr 184.0   mm 129.1   mm2 120.4
+  (256,256,256): pad 216.8   corr 314.2   mm 219.9   mm2 215.6
+mm2 (rhs-side matrix) wins ~14% at the deep shapes and ties at the top
+resolution -> ops/pallas/fused_upsample.py uses it for H2 <= 128 and keeps
+the XLA dwconv above. corr's boundary terms double-count under zero-SAME
+padding (kept only as the measured dead end).
+
+  python tools/bench_vblur.py [--batch 64]
 """
 
 from __future__ import annotations
@@ -89,18 +97,52 @@ def main():
             [c * s[:, -1] for c in cbot], axis=1).astype(out.dtype)
         return jnp.concatenate([top, out[:, hb:-hb], bot], axis=1)
 
+    def build_toeplitz(H2):
+        # T[h, k] = sum of taps j landing on source row k = clamp(h + j - hb)
+        # — the edge-replicate padding folded into the matrix exactly.
+        T = np.zeros((H2, H2), np.float32)
+        for h in range(H2):
+            for j in range(kb):
+                k = min(max(h + j - hb, 0), H2 - 1)
+                T[h, k] += taps_np[j]
+        return T
+
+    def matmul_form(s):
+        # Vertical blur as ONE banded matmul contracting H on the MXU
+        # (K = H2 is a full contraction dim vs the VPU-bound dwconv; the
+        # replicate pad disappears into the matrix). ~36x more FLOPs than
+        # the 5-tap conv but the MXU:VPU rate ratio is larger still.
+        H2 = s.shape[1]
+        T = jnp.asarray(build_toeplitz(H2), s.dtype)
+        return jnp.einsum(
+            "hk,bkwc->bhwc", T, s, preferred_element_type=jnp.float32
+        ).astype(s.dtype)
+
+    def matmul2_form(s):
+        # Same contraction, rhs-side matrix (dot output (B,W,C,H) + transpose
+        # left to XLA's layout assignment).
+        H2 = s.shape[1]
+        T = jnp.asarray(build_toeplitz(H2).T, s.dtype)
+        return jnp.einsum(
+            "bkwc,kh->bhwc", s, T, preferred_element_type=jnp.float32
+        ).astype(s.dtype)
+
     for i, (H2, W2, Co) in enumerate(((128, 128, 512), (256, 256, 256), (512, 512, 128))):
         # On-device RNG: numpy's Gaussian takes ~40 s per 67M elements on
         # this host class; jax.random on the chip is instant.
         s = jax.random.normal(jax.random.PRNGKey(i), (B, H2, W2, Co), jnp.bfloat16)
         ref = np.asarray(pad_form(s[:2]), np.float32)
-        got = np.asarray(corr_form(s[:2]), np.float32)
-        err = float(np.max(np.abs(got - ref))) / max(1e-9, float(np.max(np.abs(ref))))
-        t_pad = time_fn(pad_form, s)
-        t_corr = time_fn(corr_form, s)
-        print(f"({H2},{W2},{Co}): pad {t_pad * 1e6 / B:7.1f} us/img   "
-              f"corr {t_corr * 1e6 / B:7.1f} us/img   rel-err {err:.2e}",
-              flush=True)
+        scale = max(1e-9, float(np.max(np.abs(ref))))
+        errs = {}
+        times = {}
+        for name, f in (("pad", pad_form), ("corr", corr_form),
+                        ("mm", matmul_form), ("mm2", matmul2_form)):
+            got = np.asarray(f(s[:2]), np.float32)
+            errs[name] = float(np.max(np.abs(got - ref))) / scale
+            times[name] = time_fn(f, s) * 1e6 / B
+        print(f"({H2},{W2},{Co}): " + "   ".join(
+            f"{n} {times[n]:7.1f} us/img (err {errs[n]:.1e})" for n in times),
+            flush=True)
 
 
 if __name__ == "__main__":

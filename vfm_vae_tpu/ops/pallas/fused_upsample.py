@@ -200,24 +200,54 @@ def _forward_jnp(x, a, c, dw, pw, taps, kb: int):
     return acch.astype(dt)
 
 
+def _vblur_toeplitz(H2: int, taps, kb: int):
+    """Banded (H2, H2) matrix equal to blur-with-edge-replicate-rows:
+    T[h, k] = sum of taps j landing on clamped source row k. taps may be a
+    traced array (legacy resample filters live in module state), so T is a
+    taps-weighted sum of kb constant clamped-shift 0/1 matrices."""
+    hb = kb // 2
+    shifts = np.zeros((kb, H2, H2), np.float32)
+    for j in range(kb):
+        for h in range(H2):
+            shifts[j, h, min(max(h + j - hb, 0), H2 - 1)] = 1.0
+    T = jnp.tensordot(jnp.asarray(taps, jnp.float32),
+                      jnp.asarray(shifts), axes=1)
+    return T.T  # rhs-side layout (k, h)
+
+
 def _vblur(s, taps, kb: int):
-    """Vertical blur leg as a plain-XLA depthwise conv (edge-replicate
-    rows). XLA's dwconv emitter handles the row halo with zero recompute;
-    separable replicate-pad blur commutes across axes, so horizontal-in-
-    kernel then vertical-here equals the reference's vertical-then-
-    horizontal order (convnext_utils.py:229-241) exactly in exact
-    arithmetic."""
+    """Vertical blur leg. Separable replicate-pad blur commutes across
+    axes, so horizontal-in-kernel then vertical-here equals the
+    reference's vertical-then-horizontal order (convnext_utils.py:229-241)
+    exactly in exact arithmetic. Two formulations (tools/bench_vblur.py):
+
+    - H2 <= 128: ONE banded Toeplitz matmul contracting H on the MXU; the
+      replicate pad folds into the matrix bit-exactly (dyadic-rational
+      taps), and the jnp.pad copy (0.19 ms/img at B128 in the serving
+      trace) disappears. 14% faster than pad+dwconv at (128,128,512).
+    - larger H2: edge-pad + plain-XLA 1-D depthwise conv — at the top
+      resolution the matmul's H2^2 band is mostly zeros and the VPU
+      dwconv ties it, so keep the cheaper-to-compile form.
+
+    Same-dtype compute on purpose: preferred_element_type=f32 on the conv
+    broke the bf16 TRAINING path (jax's conv transpose rule rejects the
+    mixed f32-cotangent/bf16-kernel pair — caught by the flagship EQ
+    compile sweep). The blur taps ([1,4,6,4,1]/16-family dyadic rationals)
+    are exactly representable in bf16, so the only deviation from the
+    kernel's fp32-accumulate-once policy is the bf16 rounding of the
+    horizontal leg it consumes."""
     Co = s.shape[-1]
     hb = kb // 2
+    H2 = s.shape[1]
+    if H2 <= 128 and os.environ.get("VFM_VAE_NO_VBLUR_MM") != "1":
+        T = jnp.asarray(_vblur_toeplitz(H2, taps, kb), s.dtype)
+        # dot_general's transpose rule accepts preferred_element_type, so
+        # fp32 accumulation is safe here (unlike the conv form above).
+        return jnp.einsum(
+            "bkwc,kh->bhwc", s, T, preferred_element_type=jnp.float32
+        ).astype(s.dtype)
     sp = jnp.pad(s, ((0, 0), (hb, hb), (0, 0), (0, 0)), mode="edge")
     kv = jnp.tile(taps.astype(s.dtype)[:, None, None, None], (1, 1, 1, Co))
-    # Same-dtype conv on purpose: preferred_element_type=f32 here broke the
-    # bf16 TRAINING path (jax's conv transpose rule rejects the mixed
-    # f32-cotangent/bf16-kernel pair — caught by the flagship EQ compile
-    # sweep). Accuracy: the blur taps ([1,4,6,4,1]/16-family dyadic
-    # rationals) are exactly representable in bf16, so the only deviation
-    # from the kernel's fp32-accumulate-once policy is the bf16 rounding of
-    # the horizontal leg it consumes.
     return jax.lax.conv_general_dilated(
         sp, kv, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
