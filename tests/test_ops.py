@@ -276,6 +276,28 @@ def test_pallas_dwconv_interpret_matches_lax():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_dwconv_stats_interpret_matches_chain():
+    """dwconv+noise+GN-stats kernel numerics, incl. a ragged row tile
+    (interpret mode; the kernel itself is a documented negative result,
+    kept opt-in — ops/pallas/dwconv_stats.py)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfm_vae_tpu.ops.pallas.dwconv_stats import _forward_jnp, _fused
+
+    for (H, W, k) in ((17, 16, 7), (8, 8, 5)):
+        x = jnp.asarray(rand_nhwc(2, H, W, 128))
+        w = jnp.asarray(0.05 * RNG.standard_normal((k, k, 128)).astype(np.float32))
+        b = jnp.asarray(RNG.standard_normal(128).astype(np.float32))
+        nz = jnp.asarray(0.05 * RNG.standard_normal((1, H, W)).astype(np.float32))
+        rt, r1, r2 = _forward_jnp(x, w, b, nz, k, True)
+        with pltpu.force_tpu_interpret_mode():
+            gt, g1, g2 = _fused(x, w, b, nz, k, True)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(rt), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), rtol=1e-4, atol=1e-3)
+
+
 def test_pallas_int8_matmul_interpret_matches_reference():
     """Fused quantize+int8 matmul kernel == the plain-XLA W8A8 reference
     (ops/quantized.int8_linear_prequant's in-graph form), including the

@@ -20,6 +20,15 @@ and one write of out.
 Parity: exact same math as models/modulated.py modulated_pointwise_conv2d +
 gelu(approximate=False) + Conv2d 1x1 + layer scale + residual; verified in
 interpret mode by tests/test_ops.py.
+
+Tried and rejected — hidden-dim chunking (round 2): splitting 4C into
+independent (dot1 -> VPU -> dot2) chunks, hoping Mosaic's VLIW scheduler
+would issue chunk j+1's matmul under chunk j's elementwise work (the
+per-tile serialization is why the kernel sits at ~48% MFU). Measured on
+v5e at B64: 148.1 us/img (2 chunks) vs 148.9 (today) at (64^2, C=512) —
+no overlap materializes — and the explicit whole-weight loads the chunk
+slices require blew the 16 MB scoped-VMEM limit at C=256. The unchunked
+form below is the measured optimum.
 """
 
 from __future__ import annotations
