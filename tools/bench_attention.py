@@ -14,6 +14,17 @@ Variants:
   einsum   - fusedqkv + hand-written einsum attention (bnqk logits)
   flash    - fusedqkv + Pallas flash kernel, full-T blocks
 
+Measured (v5e, B96, us/img per BLOCK incl. qkv + out projections):
+  sep 388.6   fusedqkv 156.9   einsum 156.5   flash 203.7
+Standalone blocks are slower than the in-context encoder (~111 us/layer:
+60.8 SDPA from the trace + matmuls at 88% peak) because layout
+amortization is missing here — only the RELATIVE comparison holds. XLA's
+fused SDPA beats the Pallas flash kernel by ~30% at this (16h, T1024,
+d64) shape (K=64 contractions idle half the MXU depth), so the encoder
+keeps the default XLA path; the attention floor is practical, not FLOP:
+the 4.3 GFLOP/img theoretical 22 us needs full-depth MXU contractions
+this head dim cannot provide.
+
   python tools/bench_attention.py [--batch 128] [--iters 20]
 """
 
