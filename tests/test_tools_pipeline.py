@@ -347,6 +347,31 @@ def test_fidelity_cli(tmp_path):
     assert "random-init" in r.stderr  # no weights -> loud warning
 
 
+def test_evaluate_npz_cli(tmp_path):
+    """evaluate_npz.py (native ADM-evaluator role, reference README:365-376):
+    gFID / sFID / IS / Precision / Recall from ADM-style npz batches.
+    sample == ref must give FID = sFID = 0 and P = R = 1."""
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (12, 32, 32, 3), dtype=np.uint8)
+    np.savez(tmp_path / "samples.npz", arr_0=imgs)
+    np.savez(tmp_path / "ref.npz", arr_0=imgs)
+
+    r = run_tool(
+        os.path.join(REPO, "tools", "decode", "evaluate_npz.py"),
+        "--sample-batch", str(tmp_path / "samples.npz"),
+        "--ref-batch", str(tmp_path / "ref.npz"),
+        "--batch", "5",
+    )
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(res) == {"fid", "sfid", "inception_score", "precision",
+                        "recall", "n_samples", "n_ref"}
+    assert res["n_samples"] == 12 and res["n_ref"] == 12
+    assert abs(res["fid"]) < 1e-3 and abs(res["sfid"]) < 1e-3
+    assert res["precision"] == 1.0 and res["recall"] == 1.0
+    assert np.isfinite(res["inception_score"])
+    assert "random-init" in r.stderr  # no weights -> loud warning
+
+
 def test_alignment_preprocess_cli(tmp_path):
     """evaluate_alignment/preprocess.py: deterministic equivariance records
     + noise sets (reference preprocess.py:39-110)."""

@@ -185,6 +185,13 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(768, 128, name="Mixed_6b")(x)
         x = InceptionC(768, 160, name="Mixed_6c")(x)
         x = InceptionC(768, 160, name="Mixed_6d")(x)
+        # sFID spatial tap (ADM evaluator, guided-diffusion
+        # evaluations/evaluator.py): TF-graph node 'mixed_6/conv:0', first 7
+        # channels, flattened to 17*17*7 = 2023 dims. The torch-port mapping
+        # (mseitzer pt_inception): TF mixed_6 = Mixed_6d, and its 'conv'
+        # (branch1x1, post-ReLU) output is the first 192 channels of the
+        # block's concat. Collected only under mutable=['intermediates'].
+        self.sow("intermediates", "sfid_spatial", x[..., :7])
         x = InceptionC(768, 192, name="Mixed_6e")(x)
         x = InceptionD(768, name="Mixed_7a")(x)
         x = InceptionE(1280, name="Mixed_7b")(x)
