@@ -20,14 +20,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--fused", action="store_true",
-                    help="simultaneous D+G step sharing one G forward")
-    args = ap.parse_args()
-
+def build_rig(batch: int):
+    """Flagship stage-0 training rig (shared with
+    tools/profile_attribution.py --train): returns (trainer, state, real, rng)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -41,6 +36,9 @@ def main():
     from vfm_vae_tpu.train.optim import Adam
     from vfm_vae_tpu.train.lpips import LPIPS
 
+    from vfm_vae_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     fn, (gv, _) = ge.entry()
     G = [c.cell_contents for c in fn.__closure__
          if type(c.cell_contents).__name__ == "Generator"][0]
@@ -48,7 +46,7 @@ def main():
     # size exhausts HBM without it (params are remat-invariant, reuse gv).
     G = G.clone(remat=True)
 
-    B = args.batch
+    B = batch
     D = ProjectedDiscriminator(
         c_dim=0, vfm_name="siglip2", use_stylegan_t_discriminator=True,
         use_patchgan_discriminator=False, compute_dtype=jnp.bfloat16,
@@ -81,6 +79,22 @@ def main():
     )
     real = jnp.asarray(np.random.default_rng(0).random((B, 256, 256, 3)), jnp.float32)
     rng = jax.random.PRNGKey(0)
+    return trainer, state, real, rng
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="simultaneous D+G step sharing one G forward")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    trainer, state, real, rng = build_rig(args.batch)
+    B = args.batch
 
     if args.fused:
         fused = jax.jit(trainer.fused_step, static_argnames=("eq", "blur_sigma"))

@@ -12,8 +12,15 @@ timing (training/training_loop.py:630-635); this gives HLO-level
 attribution with file:line provenance.
 
   python tools/profile_attribution.py                 # flagship encode+decode
+  python tools/profile_attribution.py --train         # dual-phase train step
   python tools/profile_attribution.py --batch 32 --iters 3
   python tools/profile_attribution.py --keep-trace    # leave the raw trace dir
+
+Counts the device pid's 'XLA Ops' lane only — the 'Steps' lane carries
+whole-program spans that double-count every op (caught when the training
+trace reported more device time than wall time). Train-step finding (B4,
+remat generator): 370.8 ms device vs ~518 ms wall — the gap is remote-
+tunnel dispatch (4 × ~35 ms RPC syncs per d+g step), not device work.
 """
 
 from __future__ import annotations
@@ -57,8 +64,18 @@ def analyze(trace_dir: str, iters: int, batch: int, top: int = 25):
         if e.get("ph") == "M" and e.get("name") == "process_name"
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
+    # Within the device pid, count ONLY the 'XLA Ops' lane: the 'Steps'
+    # lane carries whole-program spans (named after the jitted fn, e.g.
+    # d_step) that would double-count every op underneath them.
+    op_tids = {
+        (e["pid"], e["tid"]) for e in tr["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and e.get("pid") in dev_pids
+        and "XLA Ops" in str(e.get("args", {}).get("name", ""))
+    }
     ev = [e for e in tr["traceEvents"]
-          if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e
+          if e.get("ph") == "X" and "dur" in e
+          and (e.get("pid"), e.get("tid")) in op_tids
           and not str(e.get("name", "")).startswith("jit_")]
     tot = sum(e["dur"] for e in ev)
     scale = 1e3 * iters  # us -> ms, per call
@@ -71,7 +88,14 @@ def analyze(trace_dir: str, iters: int, batch: int, top: int = 25):
         a = e.get("args", {})
         t = a.get("tf_op", "")
         m = re.search(r"jit\(\w+\)/([^/]+/[^/]+)", t)
-        key = re.sub(r"_\d+", "_N", m.group(1)) if m else e["name"][:40]
+        if m:
+            key = re.sub(r"_\d+", "_N", m.group(1))
+        elif t:
+            # No jit(...) prefix (e.g. remat/checkpoint scopes): last two
+            # path components of the op path beat a bare fusion name.
+            key = re.sub(r"_\d+", "_N", "/".join(t.split("/")[-2:]))[:60]
+        else:
+            key = e["name"][:40]
         mod[key] += e["dur"]
         src[a.get("source", "?")] += e["dur"]
 
@@ -90,24 +114,49 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--keep-trace", action="store_true")
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="attribute the dual-phase TRAINING step (bench_train "
+                         "rig, remat generator) instead of serving; use "
+                         "--batch 4 scale")
     args = ap.parse_args()
 
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import entry
+    from vfm_vae_tpu.core.compile_cache import enable_persistent_cache
 
-    fn, (variables, _) = entry()
-    jfn = jax.jit(fn)
-    img = jnp.asarray(
-        np.random.default_rng(0).random((args.batch, 256, 256, 3)), jnp.float32)
+    enable_persistent_cache()
+
+    if args.train:
+        from bench_train import build_rig
+
+        if args.batch > 16:
+            args.batch = 4  # serving default doesn't fit the backward
+        trainer, state, real, rng = build_rig(args.batch)
+        d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
+        g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+
+        def call():
+            s1, _, dl = d_step(state, real, None, rng, (1.0, 0, False))
+            _, _, gl = g_step(s1, real, None, rng, (1.0, 0, False))
+            return float(dl) + float(gl)
+    else:
+        from __graft_entry__ import entry
+
+        fn, (variables, _) = entry()
+        jfn = jax.jit(fn)
+        img = jnp.asarray(
+            np.random.default_rng(0).random((args.batch, 256, 256, 3)), jnp.float32)
+
+        def call():
+            return float(jnp.sum(jfn(variables, img)))
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="vfm-vae-trace-")
     try:
         # Force a host read per call: async dispatch through remote tunnels
         # otherwise reports fantasy numbers.
-        capture(lambda: float(jnp.sum(jfn(variables, img))), trace_dir, args.iters)
+        capture(call, trace_dir, args.iters)
         analyze(trace_dir, args.iters, args.batch, args.top)
         if args.keep_trace:
             print(f"\nraw trace kept at {trace_dir}")
