@@ -29,6 +29,19 @@ v5e at B64: 148.1 us/img (2 chunks) vs 148.9 (today) at (64^2, C=512) —
 no overlap materializes — and the explicit whole-weight loads the chunk
 slices require blew the 16 MB scoped-VMEM limit at C=256. The unchunked
 form below is the measured optimum.
+
+Tried and rejected — per-sample premodulated W1 (round 2): folding the
+style (rows) and demod coefs (columns) into a bf16 (C, 4C) VMEM-scratch
+copy of W1 once per sample (pl.when on the first row tile), eliminating
+the per-tile style mul over (T, C) and the d-scale FMA over the wide
+(T, 4C) hidden. Measured on v5e at B32: only ~2% faster (135.3 vs 138.6
+us/img at 64^2 C=512; 159.5 vs 163.6 at 128^2 C=256; 223.7 vs 228.0 at
+256^2 C=128) — the kernel is dot1->VPU->dot2 pipeline-bound, not
+VPU-throughput-bound, so removing VPU work off the critical path barely
+moves it. Numerics: rounding s*W1*d to bf16 AFTER combining all three
+factors raises max rel error vs an fp32 ground truth from 3.9e-3 (1 out
+ulp, today's form) to 2.7e-2 at C=512 — cancellation-prone rows amplify
+the extra weight rounding. 2% is not worth 7x the tail error.
 """
 
 from __future__ import annotations
