@@ -13,9 +13,16 @@ Variants:
   fusedqkv - one (D, 3D) matmul, slice, same SDPA
   einsum   - fusedqkv + hand-written einsum attention (bnqk logits)
   flash    - fusedqkv + Pallas flash kernel, full-T blocks
+  splash   - fusedqkv + jax's TPU splash kernel ((h, T, d) layout)
 
 Measured (v5e, B96, us/img per BLOCK incl. qkv + out projections):
   sep 388.6   fusedqkv 156.9   einsum 156.5   flash 203.7
+  splash 214.6 (best over block_q/kv in {256,512,1024}; 218.7 at the
+  512/1024 default, 253.1 at 256/512) — round 2 retest, same verdict as
+  flash: at d=64 both attention matmuls idle half the MXU (K=64 depth on
+  QK^T, N=64 width on AV), so the ~44 us/img/layer matmul floor is only
+  ~1.4x below XLA's fused SDPA and no Pallas kernel closes the gap from
+  the wrong side of its own overheads.
 Standalone blocks are slower than the in-context encoder (~111 us/layer:
 60.8 SDPA from the trace + matmuls at 88% peak) because layout
 amortization is missing here — only the RELATIVE comparison holds. XLA's
@@ -118,7 +125,33 @@ def main():
         o = flash_attention(q, k, v, scale=scale)
         return o.reshape(x.shape[0], T, D) @ wo
 
-    variants = dict(sep=sep, fusedqkv=fusedqkv, einsum=einsum, flash=flash)
+    def _make_splash():
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            BlockSizes, FullMask, MultiHeadMask, make_splash_mha_single_device,
+        )
+
+        bq = int(os.environ.get("SPLASH_BQ", "512"))
+        bkv = int(os.environ.get("SPLASH_BKV", "1024"))
+        bs = BlockSizes(
+            block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+            block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+        )
+        mask = MultiHeadMask([FullMask((T, T))] * N)
+        return make_splash_mha_single_device(mask=mask, block_sizes=bs)
+
+    def splash(x):
+        # jax's TPU-native splash kernel ((heads, T, d) layout, vmap over
+        # batch); the mask/block machinery is built once at trace time.
+        kern = _make_splash()
+        qkv = x @ wqkv
+        q = qkv[..., :D].reshape(x.shape[0], T, N, H).transpose(0, 2, 1, 3)
+        k = qkv[..., D:2 * D].reshape(x.shape[0], T, N, H).transpose(0, 2, 1, 3)
+        v = qkv[..., 2 * D:].reshape(x.shape[0], T, N, H).transpose(0, 2, 1, 3)
+        o = jax.vmap(kern)(q * scale, k, v)
+        return o.transpose(0, 2, 1, 3).reshape(x.shape[0], T, D) @ wo
+
+    variants = dict(sep=sep, fusedqkv=fusedqkv, einsum=einsum, flash=flash,
+                    splash=splash)
     if args.only:
         variants = {k: v for k, v in variants.items() if k in args.only.split(",")}
 
