@@ -8,6 +8,11 @@ multiscale pixel + VF + KL + StyleGAN-T adversarial, train_all mask, frozen
 VFM/DINO towers. Weights are random — this measures compute, not quality.
 
   python tools/bench_train.py [--batch 8] [--iters 3]
+
+Measured (v5e, fused D+G step, remat on): B4 331 ms (12.08 img/s/chip),
+B8 519 ms (15.41 — the per-chip sweet spot), B10 733 ms (13.63, HBM
+pressure spills), B12/B16 OOM. --no-remat at B4 is SLOWER (344 ms) and
+uses more HBM — per-layer remat wins on both axes, so it stays default.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_rig(batch: int):
+def build_rig(batch: int, remat: bool = True):
     """Flagship stage-0 training rig (shared with
     tools/profile_attribution.py --train): returns (trainer, state, real, rng)."""
     import numpy as np
@@ -44,7 +49,7 @@ def build_rig(batch: int):
          if type(c.cell_contents).__name__ == "Generator"][0]
     # Training needs rematerialization: the 256px backward at the flagship
     # size exhausts HBM without it (params are remat-invariant, reuse gv).
-    G = G.clone(remat=True)
+    G = G.clone(remat=remat)
 
     B = batch
     D = ProjectedDiscriminator(
@@ -88,12 +93,14 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="simultaneous D+G step sharing one G forward")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-layer rematerialization (A/B: HBM fit vs recompute cost)")
     args = ap.parse_args()
 
     import numpy as np
     import jax
 
-    trainer, state, real, rng = build_rig(args.batch)
+    trainer, state, real, rng = build_rig(args.batch, remat=not args.no_remat)
     B = args.batch
 
     if args.fused:
