@@ -13,6 +13,10 @@ Measured (v5e, fused D+G step, remat on): B4 331 ms (12.08 img/s/chip),
 B8 519 ms (15.41 — the per-chip sweet spot), B10 733 ms (13.63, HBM
 pressure spills), B12/B16 OOM. --no-remat at B4 is SLOWER (344 ms) and
 uses more HBM — per-layer remat wins on both axes, so it stays default.
+Also tried and rejected: jax.checkpoint around the LPIPS towers — B12
+still OOMs, B10 745 ms and B8 532 ms (both slightly worse than without),
+so the VGG activations are not the high-water tensor and the flag was
+dropped.
 """
 
 from __future__ import annotations
