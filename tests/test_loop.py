@@ -201,3 +201,36 @@ def test_stage_configs_carry_wandb_keys():
                                     "configs", "*stage*.yaml")):
         cfg = yaml.safe_load(open(f))
         assert "wandb_project_name" in cfg and "wandb_run_name" in cfg, f
+
+
+def test_cli_forwards_every_stage_yaml_key():
+    """Every top-level stage-YAML key must be forwarded by train.py to
+    training_loop (or be a train.py-level key like resume_path). Round-1
+    shipped with fused_phases/wandb_*/data_workers silently dropped; this
+    closes that whole bug class (reference wiring:
+    training_loop.py:656-670 takes its kwargs 1:1 from the YAML)."""
+    import glob
+    import re
+
+    import yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    keys = set()
+    for f in glob.glob(os.path.join(root, "configs", "*stage*.yaml")):
+        keys |= set(yaml.safe_load(open(f)).keys())
+    src = open(os.path.join(root, "train.py")).read()
+    forwarded = set(re.findall(r'c\.get\("([A-Za-z_0-9]+)"', src))
+    # Keys train.py consumes itself rather than forwarding.
+    cli_level = {"run_dir"}
+    dropped = keys - forwarded - cli_level
+    assert not dropped, f"train.py drops YAML keys: {sorted(dropped)}"
+
+    # And everything forwarded must be a real training_loop parameter, so
+    # a typo'd key fails here instead of at launch.
+    import inspect
+
+    from vfm_vae_tpu.train.loop import training_loop
+
+    params = set(inspect.signature(training_loop).parameters)
+    unknown = (forwarded - cli_level - {"resume_path", "resume_kimg"}) - params
+    assert not unknown, f"train.py forwards unknown kwargs: {sorted(unknown)}"

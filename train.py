@@ -83,6 +83,7 @@ def main():
             lpips_ckpt=c.get("lpips_ckpt"),
             allow_random_lpips=c.get("allow_random_lpips", False),
             metrics=c.get("metrics", []),
+            in_loop_metric_batches=c.get("in_loop_metric_batches", 2),
             max_steps=args.max_steps,
             compute_dtype=c.get("compute_dtype", "bfloat16"),
             data_workers=c.get("data_workers", 3),
