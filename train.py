@@ -31,6 +31,15 @@ def main():
     )
     args = parser.parse_args()
 
+    if os.environ.get("VFM_VAE_PLATFORM"):
+        # Debug/CI hook: force a JAX backend (e.g. cpu) before any client
+        # is created. Env vars alone don't stick here — the hosting image's
+        # sitecustomize registers the TPU plugin at interpreter start — so
+        # this must go through jax.config (same pattern as __graft_entry__).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VFM_VAE_PLATFORM"])
+
     if args.multihost or os.environ.get("VFM_VAE_MULTIHOST") == "1":
         import jax
 
@@ -55,8 +64,10 @@ def main():
             print0(f"[auto-resume] found {c['resume_path']} at {kimg} kimg")
 
     # Provenance: dump the resolved config (reference: train.py:172-173).
+    from vfm_vae_tpu.core.config import to_plain
+
     with open(os.path.join(run_dir, "training_config.yaml"), "w") as f:
-        yaml.safe_dump({k: v for k, v in c.items()}, f, default_flow_style=False)
+        yaml.safe_dump(to_plain(c), f, default_flow_style=False)
 
     logger = Logger(os.path.join(run_dir, "log.txt"), mode="a")
     try:

@@ -39,6 +39,17 @@ def recursive_easydict(obj: Any) -> Any:
     return obj
 
 
+def to_plain(obj: Any) -> Any:
+    """Recursively convert EasyDicts back to plain dicts (yaml.safe_dump
+    cannot represent dict subclasses — needed for the resolved-config
+    provenance dump, reference train.py:172-173)."""
+    if isinstance(obj, dict):
+        return {k: to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [to_plain(v) for v in obj]
+    return obj
+
+
 def load_config(path: str) -> EasyDict:
     with open(path, "r") as f:
         cfg = yaml.safe_load(f)

@@ -157,7 +157,10 @@ def training_loop(
     print0(module_summary(d_params, d_bufs, name="Discriminator"))
 
     # LPIPS.
-    lk = {k: v for k, v in loss_kwargs.items() if k != "class_name"}
+    # class_name is registry plumbing; vfm_name is re-derived from G below
+    # (derive_config back-fills it into loss_kwargs from G_kwargs, which
+    # would otherwise collide with the explicit kwarg).
+    lk = {k: v for k, v in loss_kwargs.items() if k not in ("class_name", "vfm_name")}
     lpips_module = None
     lpips_params = None
     if float(lk.get("perceptual_loss_weight", 0.0)) > 0:
