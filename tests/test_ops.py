@@ -384,6 +384,26 @@ class TestFusedConvNeXtMLP:
         y = jnp.einsum("bhwi,io->bhwo", h, w2.astype(h.dtype)) + b2.astype(h.dtype)
         return y * g.astype(y.dtype) + xi
 
+    def test_pipelined_forward_parity(self, monkeypatch):
+        """Software-pipelined form == per-tile form (same math, the hidden
+        just crosses a grid step in scratch). Tiny tile budget forces
+        several row tiles per image so the one-step output lag, the batch
+        crossing, and the dead fill/drain steps are all exercised."""
+        from vfm_vae_tpu.ops.pallas.fused_mlp import _forward_jnp, _fused_pipelined
+
+        monkeypatch.setenv("VFM_VAE_MLP_TILE_KB", "1")
+        x, xi, s, d, w1, b1, w2, b2, g = self._args(3, B=3, H=4, W=4, C=8)
+        b1b = jnp.broadcast_to(b1[None, :], (x.shape[0], b1.shape[0]))
+        got = _fused_pipelined(x, xi, s, d, w1, b1b, w2, b2, g, interpret=True)
+        B, H, W, C = x.shape
+        want = _forward_jnp(
+            x.reshape(B, H * W, C), xi.reshape(B, H * W, C),
+            s, d, w1, b1b, w2, b2, g, x.dtype,
+        ).reshape(x.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
     def test_forward_parity(self):
         from vfm_vae_tpu.ops.pallas.fused_mlp import fused_convnext_mlp
 

@@ -42,6 +42,22 @@ moves it. Numerics: rounding s*W1*d to bf16 AFTER combining all three
 factors raises max rel error vs an fp32 ground truth from 3.9e-3 (1 out
 ulp, today's form) to 2.7e-2 at C=512 — cancellation-prone rows amplify
 the extra weight rounding. 2% is not worth 7x the tail error.
+
+Tried and rejected — explicit software pipelining (round 2,
+_fused_pipelined below): park the post-GELU activations in a VMEM
+scratch and contract them on the NEXT grid step, making step k's dot2
+(tile k-1) data-independent of step k's VPU chain. Bit-exact with the
+per-tile form (tests/test_ops.py pipelined parity) but SLOWER at every
+flagship decoder shape on v5e (tools/bench_mlp_pipeline.py, B96,
+max|d|=0 vs per-tile): 64^2 C=512 118.0 -> 121.3 us/img (0.97x),
+128^2 C=256 124.3 -> 132.0 (0.94x), 256^2 C=128 155.8 -> 187.1 (0.83x),
+stable across 1-4 MB tile budgets. Mosaic already extracts the
+cross-iteration overlap it can (the per-tile kernel measures 74% MFU
+bare at C=512, 56% at the 256^2 C=128 shape where the VPU share is
+largest); the manual pipeline adds a dead drain step, a second lagged
+input stream, and a scratch write+read of the (T, 4C) hidden per step,
+which costs more than the overlap recovers. Kept behind
+VFM_VAE_MLP_PIPELINE=1 as a documented negative result.
 """
 
 from __future__ import annotations
@@ -95,6 +111,96 @@ def _gelu_poly(h):
         acc = acc * s + c
     t = jnp.tanh(hc * acc)
     return h * 0.5 * (1.0 + t)
+
+
+def _kernel_pipelined(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, g_ref, o_ref, a_scr):
+    """Software-pipelined body: step k runs dot1 of tile k AND dot2 of tile
+    k-1 (post-GELU activations parked in the `a_scr` VMEM scratch between
+    steps). The two dots are data-independent inside one step, so the
+    serialized VPU chain between them (demod FMA + GELU + casts over the
+    (T, 4C) hidden) could in principle overlap the other tile's MXU work
+    instead of gating it. MEASURED: loses at every flagship shape — see
+    module docstring "Tried and rejected" entry. Tile k's output
+    is written at step k+1 (out index map lags by one; the first step's
+    write to block 0 is dead and overwritten before the block is flushed).
+    The final grid step computes a dead dot1 on a re-fetched last tile —
+    one tile of waste amortized over B*nt steps."""
+    T = a_scr.shape[0]
+    C = x_ref.shape[3]
+    # Previous tile's activations FIRST (before this step overwrites them).
+    a_prev = a_scr[...]
+    s = s_ref[0, 0].astype(jnp.float32)
+    xs = (x_ref[0].reshape(T, C).astype(jnp.float32) * s[None, :]).astype(
+        x_ref.dtype
+    )
+    h = _dot(xs, w1_ref[...])  # MXU: tile k expand
+    y = _dot(a_prev, w2_ref[...])  # MXU: tile k-1 contract (independent)
+    y = y + b2_ref[0].astype(jnp.float32)[None, :]
+    y = y * g_ref[0].astype(jnp.float32)[None, :]
+    y = y + xin_ref[0].reshape(T, C).astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype).reshape(x_ref.shape[1], x_ref.shape[2], C)
+    h = h * d_ref[0, 0].astype(jnp.float32)[None, :] + b1_ref[0, 0].astype(
+        jnp.float32
+    )[None, :]
+    a_scr[...] = _gelu_poly(h).astype(a_scr.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_pipelined(x, x_in, styles, dcoef, w1, b1, w2, b2, gamma,
+                     interpret=False):
+    B, Hh, W, C = x.shape
+    H = w1.shape[1]
+    budget = int(os.environ.get("VFM_VAE_MLP_TILE_KB", "2048")) * 1024
+    tokens = max(W, budget // max(H * 4, 1))
+    t = max(1, min(Hh, tokens // W))
+    th = next((v for v in range(t, 0, -1) if Hh % v == 0), Hh)
+    nt = Hh // th
+    J = B * nt  # real tiles; grid has one extra drain step
+
+    def cur(k):  # tile k, clamped at the drain step
+        j = jnp.minimum(k, J - 1)
+        return (j // nt, j % nt, 0, 0)
+
+    def prev(k):  # tile k-1, clamped at the fill step
+        j = jnp.maximum(k - 1, 0)
+        return (j // nt, j % nt, 0, 0)
+
+    def cur_b(k):
+        return (jnp.minimum(k, J - 1) // nt, 0, 0)
+
+    const = lambda k: (0, 0)
+    const1 = lambda k: (0, 0)
+
+    return pl.pallas_call(
+        _kernel_pipelined,
+        interpret=interpret,
+        grid=(J + 1,),
+        in_specs=[
+            pl.BlockSpec((1, th, W, C), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W, C), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, C), prev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hh, W, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th * W, H), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hh * W * C * H,
+            bytes_accessed=3 * B * Hh * W * C * x.dtype.itemsize
+            + 2 * C * H * x.dtype.itemsize,
+            transcendentals=B * Hh * W * H,
+        ),
+    )(x, x_in, styles.reshape(B, 1, C), dcoef.reshape(B, 1, H),
+      w1, b1.reshape(B, 1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
 
 
 def _kernel(x_ref, xin_ref, s_ref, d_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -194,8 +300,13 @@ def _fused_op(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
     # x, xi: (B, H, W, C) -- 4-D at this boundary so the pallas path never
     # reshapes the activation in HBM.
     if use_pallas:
-        return _fused(x, xi, styles, dcoef, w1.astype(x.dtype), b1,
-                      w2.astype(x.dtype), b2, gamma)
+        impl = (
+            _fused_pipelined
+            if os.environ.get("VFM_VAE_MLP_PIPELINE") == "1"
+            else _fused
+        )
+        return impl(x, xi, styles, dcoef, w1.astype(x.dtype), b1,
+                    w2.astype(x.dtype), b2, gamma)
     B, Hh, W, C = x.shape
     out = _forward_jnp(x.reshape(B, Hh * W, C), xi.reshape(B, Hh * W, C),
                        styles, dcoef, w1, b1, w2, b2, gamma, x.dtype)
