@@ -140,3 +140,37 @@ def test_image_folder_dataset(tmp_path):
     np.testing.assert_array_equal(img_f, img[:, ::-1])
     batches = list(ds.batches(4))
     assert sum(b[0].shape[0] for b in batches) == 12
+
+
+def test_process_loader_close_does_not_hang(tmp_path):
+    """Regression: closing the loader while process workers are mid-put must
+    return promptly. Workers SIGTERMed mid-put leave a truncated pickle in
+    the queue pipe; the old teardown drained with mp.Queue.get_nowait(),
+    which blocks forever reading payload bytes that never arrive (observed
+    as train.py hanging after 'Done'). Samples here are ~192 KB decoded —
+    larger than the 64 KB pipe buffer — so a put is essentially always
+    in flight when close() fires. queue_size must be large: with a small
+    queue, workers block on the maxsize semaphore (cleanly, between
+    messages) instead of mid-pipe-write, and the kill leaves no torn
+    message."""
+    import threading
+
+    from vfm_vae_tpu.data.wds import wds_dataloader
+
+    urls = make_shards(tmp_path, n_shards=2, per_shard=6, size=256)
+    it = wds_dataloader(
+        urls, batch_size=2, resolution=256, workers=2, label_type="cls2id",
+        cls_to_text_path=write_c2t(tmp_path), base_seed=3,
+        queue_size=4096, sample_shuffle_size=1, worker_type="process",
+    )
+    next(it)  # workers alive and the bounded queue saturated
+
+    done = threading.Event()
+
+    def closer():
+        it.close()
+        done.set()
+
+    t = threading.Thread(target=closer, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "loader close() hung (queue drain deadlock)"

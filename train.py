@@ -55,6 +55,11 @@ def main():
     run_dir = c.get("run_dir", "runs/default")
     os.makedirs(run_dir, exist_ok=True)
 
+    # Attach the log tee before any launch-path prints so auto-resume
+    # decisions are recorded in run_dir/log.txt (debuggability: a restarted
+    # job's log must say what it resumed from).
+    logger = Logger(os.path.join(run_dir, "log.txt"), mode="a")
+
     # Auto-resume: newest snapshot in run_dir (reference: train.py:148-162).
     if not args.no_resume and not c.get("resume_path"):
         latest = find_latest_snapshot(run_dir)
@@ -69,7 +74,6 @@ def main():
     with open(os.path.join(run_dir, "training_config.yaml"), "w") as f:
         yaml.safe_dump(to_plain(c), f, default_flow_style=False)
 
-    logger = Logger(os.path.join(run_dir, "log.txt"), mode="a")
     try:
         training_loop(
             run_dir=run_dir,

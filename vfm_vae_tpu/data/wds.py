@@ -417,14 +417,26 @@ def wds_dataloader(
         finally:
             stop.set()
             if use_processes:
+                # Never read the queue after terminating its producers: a
+                # worker killed mid-put leaves a truncated pickle in the
+                # pipe, and mp.Queue.get_nowait() blocks forever reading
+                # payload bytes that will never arrive (observed hang at
+                # process exit). Reap and drop the fds instead.
                 for p in procs:
                     p.terminate()
-            # Unblock producers.
-            try:
-                while True:
-                    out_q.get_nowait()
-            except (queue.Empty, Exception):
-                pass
+                for p in procs:
+                    p.join(timeout=5)
+                out_q.cancel_join_thread()
+                out_q.close()
+            else:
+                # Thread workers block in put() on the bounded queue; drain
+                # so they observe stop_event. queue.Queue.get_nowait never
+                # blocks, so this is safe here (and only here).
+                try:
+                    while True:
+                        out_q.get_nowait()
+                except queue.Empty:
+                    pass
 
     return batches()
 

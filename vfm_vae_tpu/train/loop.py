@@ -554,6 +554,11 @@ def training_loop(
 
     if stats_file is not None:
         stats_file.close()
+    # Deterministic loader teardown: close the generator here so worker
+    # processes/threads are reaped while the interpreter is fully alive,
+    # not during shutdown GC (where mp machinery is already half-gone).
+    if hasattr(data_iter, "close"):
+        data_iter.close()
     wandb_sink.finish()
     print0(f"Done. Total time: {format_time(time.time() - start_time)}")
     return state
