@@ -320,6 +320,72 @@ def test_pallas_int8_matmul_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
 
 
+def test_int8_static_scale_calibration_roundtrip():
+    """Static-activation-scale W8A8: calibrate_int8_act_scales records each
+    int8 Linear's input absmax through flax's act_stats collection, and the
+    static path using that scale agrees with the dynamic per-row path
+    whenever every row's absmax equals the tensor absmax (constructed
+    here), since both then quantize with the identical scale."""
+    import flax.linen as nn
+
+    from vfm_vae_tpu.models.layers import Linear, int8_linear_scope
+    from vfm_vae_tpu.ops.quantized import (
+        add_int8_collection,
+        calibrate_int8_act_scales,
+        int8_linear_prequant,
+        int8_linear_prequant_static,
+    )
+
+    class Tower(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Linear(16, 32, name="fc1")(x)
+            return Linear(32, 16, name="fc2")(x)
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return Tower(name="vfm_encoder")(x)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m = Wrap()
+    variables = m.init(jax.random.PRNGKey(0), x)
+    v8 = add_int8_collection(variables)
+    assert "int8" in v8
+
+    def apply_mut(v, xin):
+        with int8_linear_scope(True):
+            return m.apply(v, xin, mutable=["act_stats"])
+
+    v8s = calibrate_int8_act_scales(apply_mut, v8, x)
+    i8 = v8s["int8"]["vfm_encoder"]
+    assert set(i8["fc1"]) == {"wq", "ws", "as"}
+    # fc1's scale is the calibration input's absmax / 127.
+    np.testing.assert_allclose(
+        float(i8["fc1"]["as"]), float(jnp.max(jnp.abs(x))) / 127.0, rtol=1e-6
+    )
+
+    # Formula agreement: rows scaled to share one absmax.
+    xr = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    xr = xr / jnp.max(jnp.abs(xr), axis=-1, keepdims=True)  # every row absmax 1
+    wq = i8["fc1"]["wq"]
+    ws = i8["fc1"]["ws"]
+    b = variables["params"]["vfm_encoder"]["fc1"]["bias"]
+    dyn = int8_linear_prequant(xr, wq, ws, b)
+    stat = int8_linear_prequant_static(
+        xr, wq, ws, jnp.float32(1.0 / 127.0), b
+    )
+    np.testing.assert_allclose(np.asarray(dyn), np.asarray(stat), rtol=1e-5, atol=1e-6)
+
+    # End-to-end static serving forward runs and stays near the fp32 path.
+    with int8_linear_scope(True):
+        y8 = m.apply(v8s, x)
+    y = m.apply(variables, x)
+    rel = float(jnp.mean(jnp.abs(y - y8)) / (jnp.mean(jnp.abs(y)) + 1e-12))
+    assert rel < 0.05, rel
+
+
 def test_int8_matmul_eligibility_gates():
     from vfm_vae_tpu.ops.pallas.int8_matmul import int8_matmul_eligible
 

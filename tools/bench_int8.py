@@ -42,7 +42,6 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import flagship_generator
-    from vfm_vae_tpu.models.layers import int8_linear_scope
     from vfm_vae_tpu.ops.quantized import add_int8_collection
 
     G = flagship_generator()
@@ -57,25 +56,51 @@ def main():
     def encode(v, x):
         return G.apply(v, x, rng=None, method=G.encode)
 
-    def encode_int8(v, x):
-        with int8_linear_scope(True):
-            return G.apply(v, x, rng=None, method=G.encode)
-
     enc = jax.jit(encode)
     dt = timed(enc, (variables, img), args.iters)
     print(f"enc-bf16 : {dt * 1e3 / B:7.3f} ms/img  {B / dt:8.1f} img/s", flush=True)
+    z = enc(variables, img[:8])  # bf16 reference latent, traced before the
+    # env flip below can route any jit variant through the int8 path.
+
+    # VFM_VAE_INT8_VFM targets the FROZEN TOWER only (read at trace time
+    # inside VFMEncoder.encode_image); an outer int8_linear_scope would also
+    # dynamically quantize the trained adapter Linears — which is exactly
+    # what this tool accidentally measured before the vfm.py scope fix (the
+    # tower itself stayed bf16).
+    os.environ["VFM_VAE_INT8_VFM"] = "1"
 
     v8 = add_int8_collection(variables)
-    enc8 = jax.jit(encode_int8)
+    enc8 = jax.jit(encode)
     dt8 = timed(enc8, (v8, img), args.iters)
     print(f"enc-i8pre: {dt8 * 1e3 / B:7.3f} ms/img  {B / dt8:8.1f} img/s "
           f"({dt / dt8:.2f}x)", flush=True)
 
-    # numerical delta of the serving path on the same input
-    z = enc(variables, img[:8])
+    # Static activation scales: calibrate on one batch, then the quantize
+    # is a fused elementwise op instead of a dynamic absmax reduce.
+    from vfm_vae_tpu.ops.quantized import calibrate_int8_act_scales
+
+    v8s = calibrate_int8_act_scales(
+        jax.jit(
+            lambda v, x: G.apply(
+                v, x, rng=None, method=G.encode, mutable=["act_stats"]
+            )
+        ),
+        v8,
+        img[: min(B, 32)],
+    )
+    enc8s = jax.jit(encode)
+    dt8s = timed(enc8s, (v8s, img), args.iters)
+    print(f"enc-i8stat: {dt8s * 1e3 / B:6.3f} ms/img  {B / dt8s:8.1f} img/s "
+          f"({dt / dt8s:.2f}x)", flush=True)
+
+    # numerical delta of the serving paths on the same input
     z8 = enc8(v8, img[:8])
-    err = float(jnp.mean(jnp.abs(z - z8)) / (jnp.mean(jnp.abs(z)) + 1e-12))
-    print(f"latent rel-L1 bf16 vs int8: {err:.4f}")
+    z8s = enc8s(v8s, img[:8])
+    den = float(jnp.mean(jnp.abs(z))) + 1e-12
+    print(f"latent rel-L1 bf16 vs int8-dyn:    "
+          f"{float(jnp.mean(jnp.abs(z - z8))) / den:.4f}")
+    print(f"latent rel-L1 bf16 vs int8-static: "
+          f"{float(jnp.mean(jnp.abs(z - z8s))) / den:.4f}")
 
 
 if __name__ == "__main__":

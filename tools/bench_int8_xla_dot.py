@@ -141,6 +141,50 @@ def main():
         print(f"{name:34s} {dt * 1e3:7.3f} ms  {ops_sq / dt / 1e12:6.1f} TOP/s",
               flush=True)
 
+    # Rectangular MLP-shaped chain (K -> N -> K, the ViT up/down pair) at
+    # the CLI-given (m, k, n): isolates whether the square-chain int8 win
+    # survives the encoder's actual K, and what dynamic per-row absmax
+    # (the serving path's activation quantization) costs vs a fixed scale.
+    wu_b = jnp.asarray(rng.standard_normal((K, N)) / np.sqrt(K), jnp.bfloat16)
+    wd_b = jnp.asarray(rng.standard_normal((N, K)) / np.sqrt(N), jnp.bfloat16)
+    wu_q = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    wd_q = jnp.asarray(rng.integers(-127, 128, (N, K)), jnp.int8)
+    ops_pair = 2 * M * K * N * 2
+
+    def bf16_pair(c):
+        h = dot(c, wu_b, jnp.float32).astype(jnp.bfloat16)
+        return (dot(h, wd_b, jnp.float32) * (1.0 / np.sqrt(K))).astype(jnp.bfloat16)
+
+    def w8a8_fixed_pair(c):
+        h = dot(c, wu_q, jnp.int32)
+        hq = jnp.clip(jnp.round(h.astype(jnp.float32) / (127 * K)), -127, 127
+                      ).astype(jnp.int8)
+        y = dot(hq, wd_q, jnp.int32)
+        return jnp.clip(jnp.round(y.astype(jnp.float32) / (127 * N)), -127, 127
+                        ).astype(jnp.int8)
+
+    def w8a8_dyn_pair(c):
+        # c arrives bf16; quantize with per-row dynamic absmax before each
+        # dot — the int8_linear_prequant serving formula.
+        def qdot(a, wq):
+            af = a.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(af), axis=-1, keepdims=True)
+                            / 127.0, 1e-8)
+            aq = jnp.round(af / s).astype(jnp.int8)
+            return dot(aq, wq, jnp.int32).astype(jnp.float32) * s
+
+        h = qdot(c, wu_q)
+        return (qdot(h, wd_q) * (1.0 / (127 * K * 127 * N))).astype(jnp.bfloat16)
+
+    for name, step, x in [
+        ("bf16 MLP pair (K->N->K)", bf16_pair, xb),
+        ("W8A8 MLP pair, fixed scales", w8a8_fixed_pair, xq),
+        ("W8A8 MLP pair, dyn row absmax", w8a8_dyn_pair, xb),
+    ]:
+        dt = chain_sq(step, x)
+        print(f"{name:34s} {dt * 1e3:7.3f} ms  {ops_pair / dt / 1e12:6.1f} TOP/s",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

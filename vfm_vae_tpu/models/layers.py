@@ -266,6 +266,24 @@ def int8_linear_scope(enabled: bool = True):
         _INT8_SCOPE[0] = prev
 
 
+# Calibration pass for static activation scales: int8-mirrored Linears sow
+# the absmax of their input into the 'act_stats' collection
+# (ops/quantized.py:calibrate_int8_act_scales). Trace-time flag like above.
+_INT8_CALIB = [False]
+
+
+@contextlib.contextmanager
+def int8_calibration_scope():
+    prev_s, prev_c = _INT8_SCOPE[0], _INT8_CALIB[0]
+    _INT8_SCOPE[0] = True
+    _INT8_CALIB[0] = True
+    try:
+        yield
+    finally:
+        _INT8_SCOPE[0] = prev_s
+        _INT8_CALIB[0] = prev_c
+
+
 class Linear(nn.Module):
     """torch nn.Linear equivalent ((in,out) kernel, kaiming-uniform init)."""
 
@@ -292,7 +310,11 @@ class Linear(nn.Module):
             )
             return w, b
         if _INT8_SCOPE[0]:
-            from ..ops.quantized import int8_linear, int8_linear_prequant
+            from ..ops.quantized import (
+                int8_linear,
+                int8_linear_prequant,
+                int8_linear_prequant_static,
+            )
 
             b = (
                 self.param("bias", self.bias_init or default_init, (self.out_features,))
@@ -304,6 +326,18 @@ class Linear(nn.Module):
                 # weight re-quantization.
                 wq = self.get_variable("int8", "wq")
                 ws = self.get_variable("int8", "ws")
+                if _INT8_CALIB[0]:
+                    self.sow(
+                        "act_stats", "amax",
+                        jnp.max(jnp.abs(x)).astype(jnp.float32),
+                    )
+                elif self.has_variable("int8", "as"):
+                    # Offline-calibrated static activation scale: the
+                    # quantize fuses into the producer instead of paying a
+                    # dynamic absmax reduce (ops/quantized.py numbers).
+                    return int8_linear_prequant_static(
+                        x, wq, ws, self.get_variable("int8", "as"), b
+                    )
                 return int8_linear_prequant(x, wq, ws, b)
             return int8_linear(x, w, b)
         y = x @ w.astype(x.dtype)

@@ -269,16 +269,21 @@ class VFMEncoder(nn.Module):
     ) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
         x = self.preprocess(img, eq_scale_factor, is_eq_prior)
         x = x.astype(self.compute_dtype)
-        # Frozen tower: optional dynamic-int8 serving path (2x MXU rate on
-        # v5e; ops/quantized.py). Opt-in via VFM_VAE_INT8_VFM=1.
+        # Frozen tower: optional int8 serving path (ops/quantized.py).
+        # Opt-in via VFM_VAE_INT8_VFM=1 OR an already-active caller scope —
+        # int8_linear_scope(int8_vfm_enabled()) alone silently DISABLED a
+        # caller's scope (the round-2 'int8 e2e unchanged' A/B measured a
+        # bf16 tower because of exactly that; only the unmirrored adapter
+        # Linears quantized, which is where its 1.6% drift came from).
         from ..ops.quantized import int8_vfm_enabled
-        from .layers import int8_linear_scope
+        from .layers import _INT8_SCOPE, int8_linear_scope
 
+        tower_int8 = int8_vfm_enabled() or _INT8_SCOPE[0]
         if self.family == "qwen":
-            with int8_linear_scope(int8_vfm_enabled()):
+            with int8_linear_scope(tower_int8):
                 return self._encode_image_qwen(x)
         collect = self._hidden_indices()
-        with int8_linear_scope(int8_vfm_enabled()):
+        with int8_linear_scope(tower_int8):
             hs, last, pooled = self.tower(
                 x, collect=collect, interpolate_pos_encoding=True, need_pooled=need_pooled
             )

@@ -101,6 +101,77 @@ def int8_linear_prequant(
     return y.astype(x.dtype)
 
 
+def int8_linear_prequant_static(
+    x: jnp.ndarray,           # (..., K) float
+    wq: jnp.ndarray,          # (K, N) int8
+    ws: jnp.ndarray,          # (N,) fp32 per-output-channel weight scale
+    a_s: jnp.ndarray,         # () fp32 static activation scale (amax/127)
+    b: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """W8A8 with a STATIC per-tensor activation scale (offline-calibrated,
+    see calibrate_int8_act_scales). The quantize becomes a pure elementwise
+    scale+round+clip+cast that XLA fuses into the producer, where the
+    dynamic per-row absmax costs a separate reduce + round pass that eats
+    the entire int8 MXU win: measured on v5e at the ViT-MLP pair shape
+    (32768, 1024, 4096), XLA int8 dots run 225.8 TOP/s with fixed scales
+    (1.60x bf16) but only 157.3 TOP/s with dynamic row absmax (1.11x) —
+    tools/bench_int8_xla_dot.py. Values outside the calibrated range clip
+    at +-127 (the calibration batch's max; ViT post-LN activations are
+    bounded, drift measured in tools/bench_int8.py --static)."""
+    inv = 1.0 / jnp.maximum(a_s, 1e-8)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * inv), -127.0, 127.0
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (a_s * ws)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def calibrate_int8_act_scales(apply_fn, variables, *args, **kwargs):
+    """Run one forward under the int8 scope with the 'act_stats' collection
+    mutable; every int8-mirrored Linear records the absmax of its input
+    activation (under serving numerics: earlier layers already run int8).
+    Returns `variables` with fp32 scalar 'as' = amax/127 leaves merged into
+    the 'int8' collection at the matching module paths.
+
+    Usage:
+        v8 = add_int8_collection(variables)
+        v8 = calibrate_int8_act_scales(
+            lambda v, x: G.apply(v, x, rng=None, method=G.encode,
+                                 mutable=["act_stats"]), v8, sample_imgs)
+    """
+    import flax.traverse_util as tu
+
+    from ..models.layers import int8_calibration_scope
+
+    with int8_calibration_scope():
+        _, mut = apply_fn(variables, *args, **kwargs)
+    stats = mut.get("act_stats", {})
+    flat = tu.flatten_dict(stats)
+    add = {}
+    for path, amax in flat.items():
+        # sow() wraps values in a tuple (one entry per call; a module
+        # invoked more than once contributes several) — take the max.
+        if isinstance(amax, tuple):
+            amax = jnp.max(jnp.stack(list(amax)))
+        assert path[-1] == "amax", path
+        add[path[:-1] + ("as",)] = (
+            jnp.asarray(amax, jnp.float32) / 127.0
+        )
+    if not add:
+        return variables
+    out = dict(variables)
+    merged = tu.flatten_dict(dict(out.get("int8", {})))
+    merged.update(add)
+    out["int8"] = tu.unflatten_dict(merged)
+    return out
+
+
 def prequantize_linears(params_subtree):
     """Int8 mirror of a params subtree: for every 2D 'weight' leaf produce
     {'wq': int8 (K,N), 'ws': fp32 (N,)} at the same module path. Same
