@@ -18,12 +18,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timed(fn, args, iters):
+    """Depth-2 pipelined timing (same as bench.py): dispatch i+1 before
+    forcing i's host read, so tunnel RPC + arg-transfer latency overlaps
+    device compute. Unpipelined sync-per-iter timing punishes large
+    variables pytrees (the int8 mirror adds ~150 leaves) with dispatch
+    overhead a serving driver never pays."""
+    import jax
     import jax.numpy as jnp
 
-    float(jnp.sum(fn(*args)))  # compile
+    jfn = jax.jit(lambda *a: jnp.sum(fn(*a)))  # sum in-graph: one dispatch
+    float(jfn(*args))  # compile + settle
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(iters):
-        float(jnp.sum(fn(*args)))
+    for i in range(iters):
+        outs.append(jfn(*args))
+        if i >= 1:
+            float(outs[i - 1])
+    float(outs[-1])
     return (time.perf_counter() - t0) / iters
 
 

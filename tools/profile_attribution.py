@@ -118,6 +118,10 @@ def main():
                     help="attribute the dual-phase TRAINING step (bench_train "
                          "rig, remat generator) instead of serving; use "
                          "--batch 4 scale")
+    ap.add_argument("--int8-encode", action="store_true",
+                    help="attribute the static-scale W8A8 ENCODE path "
+                         "(VFM_VAE_INT8_VFM tower) instead of the full "
+                         "serving roundtrip")
     args = ap.parse_args()
 
     import numpy as np
@@ -141,6 +145,30 @@ def main():
             s1, _, dl = d_step(state, real, None, rng, (1.0, 0, False))
             _, _, gl = g_step(s1, real, None, rng, (1.0, 0, False))
             return float(dl) + float(gl)
+    elif args.int8_encode:
+        os.environ["VFM_VAE_INT8_VFM"] = "1"
+        from __graft_entry__ import flagship_generator
+        from vfm_vae_tpu.ops.quantized import (
+            add_int8_collection,
+            calibrate_int8_act_scales,
+        )
+
+        G = flagship_generator()
+        img = jnp.asarray(
+            np.random.default_rng(0).random((args.batch, 256, 256, 3)),
+            jnp.float32)
+        variables = jax.jit(
+            lambda r: G.init({"params": r}, img[:2], train=False)
+        )(jax.random.PRNGKey(0))
+        v8 = calibrate_int8_act_scales(
+            jax.jit(lambda v, x: G.apply(
+                v, x, rng=None, method=G.encode, mutable=["act_stats"])),
+            add_int8_collection(variables), img[:32])
+        jfn = jax.jit(
+            lambda v, x: G.apply(v, x, rng=None, method=G.encode))
+
+        def call():
+            return float(jnp.sum(jfn(v8, img)))
     else:
         from __graft_entry__ import entry
 

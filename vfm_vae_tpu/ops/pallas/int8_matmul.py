@@ -101,6 +101,14 @@ def _pick_tile(dim: int, target: int) -> int:
 
 
 def int8_matmul_eligible(x: jnp.ndarray, wq: jnp.ndarray) -> bool:
+    # Opt-in only since round 2's scope fix: XLA's own int8 dot emitter is
+    # both faster (225.8 TOP/s static / 157.3 dynamic vs this kernel's 164
+    # best-case — tools/bench_int8_xla_dot.py) and safe at every flagship
+    # shape, where this kernel's tile-cap heuristic blows scoped VMEM at
+    # fc2 (M=98304, K=4096, N=1024: 20.08M > 16M). Kept for the measured
+    # negative result and as a Mosaic int8 testbed.
+    if os.environ.get("VFM_VAE_PALLAS_INT8") != "1":
+        return False
     if os.environ.get("VFM_VAE_NO_PALLAS_INT8") == "1":
         return False
     if jax.default_backend() != "tpu":
