@@ -92,6 +92,45 @@ def test_env_opt_in_reaches_the_tower(enc_and_vars, monkeypatch):
     assert float(jnp.mean(jnp.abs(y_bf16 - y_int8))) > 0.0
 
 
+def test_decoder_mlp_int8_static_path():
+    """ConvNeXt MLP W8A8: mirrors at the layer path + calibrated as_u/as_h
+    scales route the block through the static-int8 dots; output must track
+    the fp32 path within quantization noise, and the folded algebra
+    (GN-affine + modulate in A, demod in e1) must match the unfused form."""
+    from vfm_vae_tpu.models.convnext import ConvNeXtSynthesisLayer
+    from vfm_vae_tpu.ops.quantized import (
+        calibrate_int8_act_scales,
+        prequantize_decoder_mlps,
+    )
+
+    rng = np.random.default_rng(1)
+    B, H, W, C, wdim = 2, 8, 8, 32, 16
+    layer = ConvNeXtSynthesisLayer(channels=C, w_dim=wdim, kernel_size=7)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    wlat = jnp.asarray(rng.standard_normal((B, wdim)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x, wlat)
+
+    y_ref = layer.apply(variables, x, wlat)
+
+    m = prequantize_decoder_mlps(variables["params"])
+    assert set(tu.flatten_dict(m)) == {("w1q",), ("ws1",), ("w2q",), ("ws2",)}
+    v8 = dict(variables)
+    v8["int8"] = m
+
+    v8s = calibrate_int8_act_scales(
+        lambda v, xx, ww: layer.apply(v, xx, ww, mutable=["act_stats"]),
+        v8, x, wlat,
+    )
+    flat = tu.flatten_dict(v8s["int8"])
+    assert ("as_u",) in flat and ("as_h",) in flat
+
+    y_int8 = layer.apply(v8s, x, wlat)
+    rel = float(
+        jnp.mean(jnp.abs(y_ref - y_int8)) / (jnp.mean(jnp.abs(y_ref)) + 1e-12)
+    )
+    assert 0.0 < rel < 0.05, rel
+
+
 def test_calibration_covers_every_int8_linear(enc_and_vars):
     """calibrate_int8_act_scales must produce one 'as' per 'wq' for the
     whole tower, and the static path must track the dynamic path."""

@@ -85,8 +85,10 @@ class ConvNeXtSynthesisLayer(nn.Module):
         )
 
         from ..ops.pallas.fused_mlp import fused_convnext_mlp, fused_mlp_eligible
+        from .layers import _INT8_CALIB
 
-        if fused_mlp_eligible(x):
+        int8_mirror = self.has_variable("int8", "w1q")
+        if fused_mlp_eligible(x) or int8_mirror:
             # Fused pallas path: GN-apply + modulate + expand -> GELU ->
             # contract without materializing the (B, H, W, 4C) hidden and
             # without a separate normalization pass over x. GN is affine in
@@ -110,9 +112,23 @@ class ConvNeXtSynthesisLayer(nn.Module):
             c = gnb[None, :] - jnp.repeat(mean * rstd, reps, axis=1) * gnw[None, :]
             A = a * sf
             b1_eff = ((c * sf) @ w1.astype(jnp.float32)) * d + b1[None, :]
-            return fused_convnext_mlp(
-                x, x_in, A, d, w1, b1_eff, w2k[0, 0], b2, g
-            ).astype(dtype)
+
+            # Int8 only pays at the deep-pyramid shapes: at 128px+ the
+            # (B,H,W,4C) hidden this unfused form materializes costs more
+            # HBM traffic than the int8 MXU rate saves, and the zero-
+            # materialization fused bf16 kernel wins (measured e2e 0.75x
+            # with int8 everywhere vs 1.0x baseline; tools/bench_int8.py).
+            int8_shape_ok = x.shape[1] * x.shape[2] <= 64 * 64
+            if int8_mirror and int8_shape_ok and (
+                _INT8_CALIB[0] or self.has_variable("int8", "as_u")
+            ):
+                return self._int8_mlp(
+                    x, x_in, A, d, w1, b1_eff, w2k[0, 0], b2, g
+                ).astype(dtype)
+            if fused_mlp_eligible(x):
+                return fused_convnext_mlp(
+                    x, x_in, A, d, w1, b1_eff, w2k[0, 0], b2, g
+                ).astype(dtype)
 
         x = norm(x)
         x = pw1(x, style)
@@ -121,6 +137,71 @@ class ConvNeXtSynthesisLayer(nn.Module):
         if gamma is not None:
             x = x * gamma.astype(x.dtype)
         return (x + x_in).astype(dtype)
+
+    def _int8_mlp(self, x, x_in, A, d, w1, b1_eff, w2, b2, g):
+        """Static-scale W8A8 MLP for serving decode (opt-in: only routes
+        when the caller built decoder mirrors via add_int8_collection(...,
+        decoder_mlp_keys=('synthesis',)) and calibrated; see
+        ops/quantized.py). Same folded algebra as the fused pallas path —
+        GN-apply + modulate fold into the per-image input scale A and bias
+        b1_eff — with the dots on XLA's int8 MXU path.
+
+        MEASURED NEGATIVE RESULT (v5e, B96 flagship, tools/bench_int8.py):
+        int8 MLPs everywhere = 0.75x e2e (the materialized (B,H,W,4C)
+        hidden at 128px+ costs more HBM traffic than the int8 rate saves);
+        deep-pyramid-only (HW <= 64^2, this gate) = still net -0.7 ms/img
+        vs the zero-materialization fused bf16 kernel — the extra
+        elementwise passes (x*A materialize, quantize, e1 epilogue) exceed
+        the dot saving at those shapes. Serving default is therefore int8
+        TOWER + bf16 decode (101.0 vs 91.4 img/s; decode PSNR of the full
+        int8 variant was fine at 46.2 dB — speed, not accuracy, is why).
+        During calibration (int8_calibration_scope) it runs the fp32 math
+        and sows the two activation absmaxes instead."""
+        from ..ops.quantized import _INT8_EPS
+        from .layers import _INT8_CALIB
+
+        B, H, W, C = x.shape
+        u = x.astype(jnp.float32) * A[:, None, None, :]
+        dT = d[:, None, None, :]
+        bT = b1_eff[:, None, None, :]
+
+        if _INT8_CALIB[0]:
+            self.sow("act_stats", "amax_u", jnp.max(jnp.abs(u)))
+            h = jax.nn.gelu(
+                (u @ w1.astype(jnp.float32)) * dT + bT, approximate=False
+            )
+            self.sow("act_stats", "amax_h", jnp.max(jnp.abs(h)))
+            y = h @ w2.astype(jnp.float32) + b2[None, None, None, :]
+            return x_in.astype(jnp.float32) + y * g[None, None, None, :]
+
+        w1q = self.get_variable("int8", "w1q")
+        ws1 = self.get_variable("int8", "ws1")
+        s_u = jnp.maximum(self.get_variable("int8", "as_u"), _INT8_EPS)
+        w2q = self.get_variable("int8", "w2q")
+        ws2 = self.get_variable("int8", "ws2")
+        s_h = jnp.maximum(self.get_variable("int8", "as_h"), _INT8_EPS)
+
+        uq = jnp.clip(jnp.round(u * (1.0 / s_u)), -127.0, 127.0).astype(jnp.int8)
+        acc1 = jax.lax.dot_general(
+            uq, w1q, (((3,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        e1 = (s_u * ws1)[None, :] * d  # (B, 4C): rescale + demod in one
+        # Hidden lives as bf16 between the fusions (the fp32 form doubles
+        # the largest HBM tensor in the decode for no accuracy we keep —
+        # the very next op rounds to int8 anyway).
+        h = jax.nn.gelu(
+            acc1.astype(jnp.float32) * e1[:, None, None, :] + bT,
+            approximate=False,
+        ).astype(jnp.bfloat16)
+        hq = jnp.clip(
+            jnp.round(h.astype(jnp.float32) * (1.0 / s_h)), -127.0, 127.0
+        ).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(
+            hq, w2q, (((3,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc2.astype(jnp.float32) * (s_h * ws2)[None, None, None, :]
+        y = (y + b2[None, None, None, :]) * g[None, None, None, :]
+        return x_in.astype(jnp.float32) + y
 
 
 class ConvNeXtToRGBLayer(nn.Module):

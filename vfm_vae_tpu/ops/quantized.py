@@ -43,6 +43,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Floor for activation scales (a zero-calibrated layer would otherwise
+# divide by zero at serving time).
+_INT8_EPS = 1e-8
+
 
 def int8_vfm_enabled() -> bool:
     return os.environ.get("VFM_VAE_INT8_VFM") == "1"
@@ -159,8 +163,10 @@ def calibrate_int8_act_scales(apply_fn, variables, *args, **kwargs):
         # invoked more than once contributes several) — take the max.
         if isinstance(amax, tuple):
             amax = jnp.max(jnp.stack(list(amax)))
-        assert path[-1] == "amax", path
-        add[path[:-1] + ("as",)] = (
+        # 'amax' -> 'as'; suffixed stats ('amax_u') -> suffixed scales
+        # ('as_u') for modules with several quantized activations.
+        assert path[-1].startswith("amax"), path
+        add[path[:-1] + ("as" + path[-1][4:],)] = (
             jnp.asarray(amax, jnp.float32) / 127.0
         )
     if not add:
@@ -193,10 +199,44 @@ def prequantize_linears(params_subtree):
     return tu.unflatten_dict(out)
 
 
-def add_int8_collection(variables, keys=("vfm_encoder",)):
+def prequantize_decoder_mlps(params_subtree):
+    """Int8 mirrors for the decoder's ConvNeXt MLP pairs: for every
+    ('...', 'pwconv1', 'weight') (C, 4C) / ('...', 'pwconv2', 'weight')
+    (1, 1, 4C, C) pair, emit {'w1q','ws1'} / {'w2q','ws2'} at the PARENT
+    layer path, where ConvNeXtSynthesisLayer reads them (models/convnext.py
+    int8 branch). Only the MLP dots are mirrored — the decoder's dwconvs,
+    GN and attention stay bf16 (VPU/bandwidth-bound, no MXU-int8 gain)."""
+    import numpy as np
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params_subtree)
+    out = {}
+
+    def quant(wf):
+        ws = np.maximum(np.abs(wf).max(axis=0) / 127.0, 1e-12)
+        wq = np.round(wf / ws[None, :]).astype(np.int8)
+        return jnp.asarray(wq), jnp.asarray(ws, jnp.float32)
+
+    for path, v in flat.items():
+        if path[-2:] == ("pwconv1", "weight") and getattr(v, "ndim", 0) == 2:
+            wq, ws = quant(np.asarray(v, np.float32))
+            out[path[:-2] + ("w1q",)] = wq
+            out[path[:-2] + ("ws1",)] = ws
+        elif path[-2:] == ("pwconv2", "weight") and getattr(v, "ndim", 0) == 4:
+            wf = np.asarray(v, np.float32)[0, 0]
+            wq, ws = quant(wf)
+            out[path[:-2] + ("w2q",)] = wq
+            out[path[:-2] + ("ws2",)] = ws
+    return tu.unflatten_dict(out)
+
+
+def add_int8_collection(variables, keys=("vfm_encoder",), decoder_mlp_keys=()):
     """Return `variables` with an 'int8' collection holding pre-quantized
     weights for the given top-level param subtrees (default: the frozen VFM
-    tower). Linear layers pick these up when inside int8_linear_scope()."""
+    tower). Linear layers pick these up when inside int8_linear_scope().
+    `decoder_mlp_keys` (e.g. ('synthesis',)) additionally mirrors ConvNeXt
+    MLP pairs for the static-int8 decode path — which only activates once
+    calibrate_int8_act_scales has added its 'as_u'/'as_h' scales."""
     mirror = {}
     for k in keys:
         sub = variables["params"].get(k)
@@ -204,6 +244,16 @@ def add_int8_collection(variables, keys=("vfm_encoder",)):
             m = prequantize_linears(sub)
             if m:
                 mirror[k] = m
+    for k in decoder_mlp_keys:
+        sub = variables["params"].get(k)
+        if sub is not None:
+            m = prequantize_decoder_mlps(sub)
+            if m:
+                import flax.traverse_util as tu
+
+                merged = tu.flatten_dict(mirror.get(k, {}))
+                merged.update(tu.flatten_dict(m))
+                mirror[k] = tu.unflatten_dict(merged)
     if not mirror:
         return variables
     out = dict(variables)
