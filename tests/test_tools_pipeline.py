@@ -322,6 +322,35 @@ def test_reconstruct_evaluate_extract_cli(gen_env, tmp_path):
     assert "psnr" in r.stdout.lower()
 
 
+def test_reconstruct_cli_int8(gen_env, tmp_path):
+    """--int8 serves the frozen tower in static-scale W8A8 (calibrated on
+    the head of the dataset). The reconstructions must stay close to the
+    bf16 run — PSNR between the two output sets, not just 'it ran'."""
+    out_imgs = tmp_path / "val"
+    run_tool(
+        os.path.join(REPO, "tools", "reconstruct", "extract.py"),
+        "--tars", gen_env["data"], "--out", str(out_imgs),
+    )
+    recs = {}
+    for mode, flags in [("bf16", []), ("int8", ["--int8"])]:
+        rec = tmp_path / f"rec_{mode}"
+        run_tool(
+            os.path.join(REPO, "tools", "reconstruct", "reconstruct.py"),
+            "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+            "--data", str(out_imgs), "--out", str(rec), "--batch", "4",
+            "--max-images", "4", *flags,
+        )
+        import PIL.Image
+
+        recs[mode] = np.stack([
+            np.asarray(PIL.Image.open(p), np.float32)
+            for p in sorted((rec / "outputs").glob("*.png"))
+        ])
+    mse = float(np.mean(np.square(recs["bf16"] - recs["int8"])))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 25.0, psnr  # random-weight tiny model; production is ~46dB
+
+
 def test_fidelity_cli(tmp_path):
     """fidelity.py (native stand-in for the reference's external
     torch-fidelity step, README:341-357): folder-vs-folder FID + IS with the

@@ -84,6 +84,10 @@ def main(return_moments: bool = False):
                          "<out>/images/<class>/<key>.png with a per-rank "
                          "dataset json (reference preprocess_for_reg/"
                          "prefetch.py:264-270)")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the frozen tower in static-scale int8 "
+                         "(calibrated on the first batch; 1.22x encode "
+                         "on v5e, latent rel-L1 2.4%% — README W8A8)")
     args = ap.parse_args()
 
     import jax
@@ -179,6 +183,11 @@ def main(return_moments: bool = False):
             labels.append(label)
             if len(imgs) == args.batch:
                 x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
+                if args.int8:
+                    from vfm_vae_tpu.ops.quantized import enable_int8_tower
+
+                    variables = enable_int8_tower(G, variables, x)
+                    args.int8 = False  # calibrate once, on real data
                 rng, sub = jax.random.split(rng)
                 z, zf = encode(variables, x, sub)
                 lat_buf.append(np.asarray(z, np.float32))

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--sample-posterior", action="store_true",
                     help="sample z (reference always samples)")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the frozen tower in static-scale int8 "
+                         "(1.11x e2e on v5e, decode PSNR 46 dB vs bf16; "
+                         "README 'W8A8 int8 serving')")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +98,16 @@ def main():
     files = list(iter_image_files(args.data))
     if args.max_images:
         files = files[: args.max_images]
+
+    if args.int8:
+        from vfm_vae_tpu.ops.quantized import enable_int8_tower
+
+        calib = np.stack(
+            [load_and_crop(f, res) for f in files[: min(32, len(files))]]
+        )
+        variables = enable_int8_tower(
+            G, variables, jnp.asarray(calib, jnp.float32) / 255.0
+        )
     print(f"Reconstructing {len(files)} images at {res}px ...")
     rng = jax.random.PRNGKey(0)
     for i in range(0, len(files), args.batch):

@@ -199,6 +199,26 @@ def prequantize_linears(params_subtree):
     return tu.unflatten_dict(out)
 
 
+def enable_int8_tower(G, variables, sample_imgs):
+    """One-call setup of the fast serving config (int8 frozen tower + bf16
+    decode, the measured winner — README 'W8A8 int8 serving'): flips the
+    VFM_VAE_INT8_VFM opt-in for this process, mirrors the tower weights to
+    int8, and calibrates static activation scales on `sample_imgs`.
+    Returns the variables to serve with."""
+    import jax
+
+    os.environ["VFM_VAE_INT8_VFM"] = "1"
+    return calibrate_int8_act_scales(
+        jax.jit(
+            lambda v, x: G.apply(
+                v, x, rng=None, method=G.encode, mutable=["act_stats"]
+            )
+        ),
+        add_int8_collection(variables),
+        sample_imgs,
+    )
+
+
 def prequantize_decoder_mlps(params_subtree):
     """Int8 mirrors for the decoder's ConvNeXt MLP pairs: for every
     ('...', 'pwconv1', 'weight') (C, 4C) / ('...', 'pwconv2', 'weight')
