@@ -146,6 +146,7 @@ def test_dual_phase_step(rig, mesh8):
     assert "Loss/D/stylegan_t/loss" in d_stats
 
 
+@pytest.mark.heavy
 def test_eq_bucket_step(rig, mesh8):
     """A non-trivial EQ bucket compiles and runs (different output shapes)."""
     from vfm_vae_tpu.parallel import shard_batch
@@ -160,6 +161,7 @@ def test_eq_bucket_step(rig, mesh8):
         assert np.isfinite(float(total))
 
 
+@pytest.mark.heavy
 def test_grad_accumulation(rig, mesh8):
     """accumulate_gradients=2 runs and matches batch semantics (sum of
     microbatch grads, single Adam step)."""
@@ -233,6 +235,7 @@ def test_zero1_optimizer_sharding(mesh8):
         [getattr(x, "sharding", None) for x in leaves]
 
 
+@pytest.mark.heavy
 def test_fused_step(rig, mesh8):
     """Fused simultaneous D+G step: one generator forward feeds both
     branches; both param sets update, frozen towers stay frozen, and the
@@ -272,6 +275,7 @@ def test_fused_step(rig, mesh8):
     assert "Loss/G/vf_loss" in stats
 
 
+@pytest.mark.heavy
 def test_d_loss_from_gen_matches_d_loss(rig, mesh8):
     """d_loss == d_loss_from_gen when handed the same generated image
     (refactor guard for the shared-forward path)."""
@@ -297,6 +301,48 @@ def test_d_loss_from_gen_matches_d_loss(rig, mesh8):
         state.cur_nimg,
     )
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+
+def test_eq_angle_folding(rig, mesh8):
+    """jit_train_step folds all four rot90 angles (and the shape-identical
+    scale-1.0 prior bucket) into ONE compiled program, and the folded step
+    matches the fully-static jit numerically."""
+    from vfm_vae_tpu.parallel import shard_batch
+    from vfm_vae_tpu.train.train_step import jit_train_step
+
+    trainer, state, _ = rig
+    rng = jax.random.PRNGKey(13)
+    real = np.random.default_rng(9).random((8, 32, 32, 3)).astype(np.float32)
+
+    with jax.sharding.set_mesh(mesh8):
+        real_sh = shard_batch(mesh8, jnp.asarray(real))
+        g_fold = jit_train_step(trainer.g_step, donate=False)
+        totals = {}
+        for eq in [(1.0, 0, False), (1.0, 1, False), (1.0, 2, False),
+                   (1.0, 3, False), (1.0, 0, True)]:
+            _, _, total = g_fold(state, real_sh, None, rng, eq)
+            totals[eq] = float(total)
+            assert np.isfinite(totals[eq])
+        assert g_fold.jitted._cache_size() == 1, (
+            "angle folding must compile ONE variant for all scale-1.0 buckets"
+        )
+        # Angle actually matters (the switch is live, not DCE'd to identity).
+        assert totals[(1.0, 1, False)] != totals[(1.0, 0, False)]
+        # (1.0, 0, True) canonicalizes onto (1.0, 0, False) — same program,
+        # same value.
+        assert totals[(1.0, 0, True)] == totals[(1.0, 0, False)]
+
+        # A different scale is a genuine new bucket.
+        _, _, t2 = g_fold(state, real_sh, None, rng, (0.5, 2, False))
+        assert np.isfinite(float(t2))
+        assert g_fold.jitted._cache_size() == 2
+
+        # Numerics match the fully-static compile for a rotated bucket.
+        g_static = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+        _, _, t_static = g_static(state, real_sh, None, rng, (1.0, 3, False))
+        np.testing.assert_allclose(
+            totals[(1.0, 3, False)], float(t_static), rtol=1e-5
+        )
 
 
 def test_adam_mask_freezes_exactly():

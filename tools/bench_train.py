@@ -91,6 +91,20 @@ def build_rig(batch: int, remat: bool = True):
     return trainer, state, real, rng
 
 
+V5E_PEAK_TFLOPS = 197.0  # bf16 MXU peak, TPU v5e (serving dossier baseline)
+
+
+def _step_flops(jitted, *args):
+    """FLOPs of one compiled step via XLA cost analysis (0.0 if missing)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
@@ -99,6 +113,11 @@ def main():
                     help="simultaneous D+G step sharing one G forward")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-layer rematerialization (A/B: HBM fit vs recompute cost)")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable TrainState buffer donation (A/B vs the loop default)")
+    ap.add_argument("--pipeline", type=int, default=4,
+                    help="steady-state dispatch depth (0 = force every step, "
+                         "matches the pre-r3 loop; default mirrors train/loop.py)")
     args = ap.parse_args()
 
     import numpy as np
@@ -106,43 +125,46 @@ def main():
 
     trainer, state, real, rng = build_rig(args.batch, remat=not args.no_remat)
     B = args.batch
+    donate = () if args.no_donate else ("state",)
 
-    if args.fused:
-        fused = jax.jit(trainer.fused_step, static_argnames=("eq", "blur_sigma"))
-        t0 = time.perf_counter()
-        state, _, total = fused(state, real, None, rng, (1.0, 0, False))
-        print(f"fused_step compile+run {time.perf_counter() - t0:.1f}s "
-              f"loss={float(total):.4f}", flush=True)
+    def run(step_fns, label):
+        nonlocal state
+        # Warm-up / compile (also reports per-step FLOPs -> MFU).
+        flops = 0.0
+        for name, fn in step_fns:
+            t0 = time.perf_counter()
+            flops += _step_flops(fn, state, real, None, rng, (1.0, 0, False))
+            state_new, _, total = fn(state, real, None, rng, (1.0, 0, False))
+            print(f"{name} compile+run {time.perf_counter() - t0:.1f}s "
+                  f"loss={float(total):.4f}", flush=True)
+            state = state_new
+        # Steady state: depth-K pipeline of step totals (train/loop.py
+        # pattern) — dispatch runs ahead of the device; every total is
+        # still forced to host inside the timed window.
+        inflight = []
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            state, _, total = fused(state, real, None, rng, (1.0, 0, False))
-        _ = float(total)
+            for _, fn in step_fns:
+                state, _, total = fn(state, real, None, rng, (1.0, 0, False))
+                inflight.append(total)
+                if args.pipeline == 0 or len(inflight) > args.pipeline:
+                    _ = float(inflight.pop(0))
+        while inflight:
+            _ = float(inflight.pop(0))
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"train step (fused D+G) B{B}: {dt * 1000:.1f} ms -> "
-              f"{B / dt:.2f} img/s/chip (finite: {np.isfinite(float(total))})")
-        return
+        mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12)
+        print(f"train step ({label}) B{B}: {dt * 1000:.1f} ms -> "
+              f"{B / dt:.2f} img/s/chip | step {flops / 1e12:.2f} TFLOP "
+              f"({flops / 1e12 / B:.2f}/img) -> MFU {mfu * 100:.1f}% "
+              f"(donate={'off' if args.no_donate else 'on'}, "
+              f"pipeline={args.pipeline}, finite={np.isfinite(float(total))})")
 
-    d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
-    g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
-
-    t0 = time.perf_counter()
-    state, _, d_total = d_step(state, real, None, rng, (1.0, 0, False))
-    print(f"d_step compile+run {time.perf_counter() - t0:.1f}s "
-          f"d_loss={float(d_total):.4f}", flush=True)
-    t0 = time.perf_counter()
-    state, _, g_total = g_step(state, real, None, rng, (1.0, 0, False))
-    print(f"g_step compile+run {time.perf_counter() - t0:.1f}s "
-          f"g_loss={float(g_total):.4f}", flush=True)
-
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, _, d_total = d_step(state, real, None, rng, (1.0, 0, False))
-        state, _, g_total = g_step(state, real, None, rng, (1.0, 0, False))
-    _ = float(d_total)
-    _ = float(g_total)
-    dt = (time.perf_counter() - t0) / args.iters
-    print(f"train step (D+G) B{B}: {dt * 1000:.1f} ms -> {B / dt:.2f} img/s/chip "
-          f"(finite: d={np.isfinite(float(d_total))} g={np.isfinite(float(g_total))})")
+    jit_kw = dict(static_argnames=("eq", "blur_sigma"), donate_argnames=donate)
+    if args.fused:
+        run([("fused_step", jax.jit(trainer.fused_step, **jit_kw))], "fused D+G")
+    else:
+        run([("d_step", jax.jit(trainer.d_step, **jit_kw)),
+             ("g_step", jax.jit(trainer.g_step, **jit_kw))], "D+G")
 
 
 if __name__ == "__main__":

@@ -42,8 +42,12 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, result=None):
+        """Yields a sync callable: call it with a step output to force a
+        host read inside the timed window (block_until_ready alone does not
+        guarantee execution through the axon tunnel). Without a call, the
+        recorded time is dispatch wall only."""
         t0 = time.perf_counter()
-        yield
+        yield lambda r: jax.device_get(r)
         if result is not None:
             jax.block_until_ready(result)
         dt = time.perf_counter() - t0

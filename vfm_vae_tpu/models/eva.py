@@ -142,6 +142,16 @@ class EVATower(nn.Module):
     patch_size: int = 14
     image_size: int = 448
     eps: float = 1e-6
+    # Rope constants — paper-derived, certifiable only against live timm
+    # (see PARITY.md §2.3). Promoted to config so a future check or a
+    # divergent checkpoint is a one-line fix:
+    #  * rope_temperature: frequency base T in 1/T^(i/b); EVA-02 paper
+    #    (arXiv 2303.11331 §2.2) and timm RotaryEmbeddingCat default 10000.
+    #  * rope_ref_grid: pretrain grid the ft->pt extrapolation scales
+    #    positions to (timm `ref_feat_shape`); None = the native grid
+    #    image_size//patch_size (timm eva02 builder behavior).
+    rope_temperature: float = 10000.0
+    rope_ref_grid: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -177,7 +187,11 @@ class EVATower(nn.Module):
         x = x + pos_use.astype(x.dtype)[None]
 
         head_dim = D // self.num_heads
-        rope_sin, rope_cos = eva_rope_table(gh, gw, head_dim, ref_grid=grid)
+        rope_sin, rope_cos = eva_rope_table(
+            gh, gw, head_dim,
+            temperature=self.rope_temperature,
+            ref_grid=self.rope_ref_grid or grid,
+        )
         rope_sin = jnp.asarray(rope_sin)
         rope_cos = jnp.asarray(rope_cos)
 

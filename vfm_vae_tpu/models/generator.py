@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import adaptive_avg_pool2d, resize_bilinear
+from ..ops.resize import adaptive_avg_pool2d, resize_bilinear, rot90_traced
 from .adapter import EquivarianceTransform, LDMAdapter
 from .dataclasses import EncodeOutput, GeneratorForwardOutput
 from .synthesis import MappingNetwork, SynthesisNetwork, synthesis_channels
@@ -274,13 +274,14 @@ class Generator(nn.Module):
         ldm_out: EncodeOutput = self.ldm_adapter.encode(patch_features, rng=rng, train=train)
         z = ldm_out.z
 
-        # Latent-side EQ (generator.py:1167-1170), training only.
+        # Latent-side EQ (generator.py:1167-1170), training only. The angle
+        # may be a traced int32 (EQ angle folding: one compiled step covers
+        # all four rot90 buckets) — rot90_traced handles both.
         if not validation and not is_eq_prior:
             if eq_scale_factor != 1.0:
                 z = resize_bilinear(z, scale_factor=eq_scale_factor)
-            if eq_angle_factor != 0:
-                # torch.rot90(z, k, dims=[-1,-2]) on NCHW == rot in (W,H).
-                z = jnp.rot90(z, k=eq_angle_factor, axes=(2, 1))
+            # torch.rot90(z, k, dims=[-1,-2]) on NCHW == rot in (W,H).
+            z = rot90_traced(z, eq_angle_factor, axes=(2, 1))
 
         z = self.ldm_adapter.decode(z)
         gen_img, gen_ms, global_text = self._map_and_synthesize(z, c, truncation_psi, train)

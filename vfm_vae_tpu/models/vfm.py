@@ -196,7 +196,13 @@ class VFMEncoder(nn.Module):
         elif fam == "eva":
             from .eva import EVATower
 
-            self.tower = EVATower(**common)
+            # Paper-derived rope constants are config knobs (PARITY.md §2.3);
+            # presets/local configs may override them for divergent ckpts.
+            self.tower = EVATower(
+                rope_temperature=p.get("rope_temperature", 10000.0),
+                rope_ref_grid=p.get("rope_ref_grid"),
+                **common,
+            )
         elif fam == "qwen":
             from .qwen import QwenVisionTower
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,6 +131,26 @@ def resize_bilinear(x, size=None, scale_factor=None, antialias: bool = False):
     Mh = resize_matrix(int(x.shape[1]), oh, "linear", antialias)
     Mw = resize_matrix(int(x.shape[2]), ow, "linear", antialias)
     return _apply_hw(x, Mh, Mw)
+
+
+def rot90_traced(x, k, axes=(2, 1)):
+    """jnp.rot90 accepting a static int OR a traced int32 scalar `k`.
+
+    Static k keeps the zero-cost pre-fold behavior (identity when k%4==0);
+    a traced k lowers to a 4-way lax.switch of shape-preserving rot90s
+    (requires square spatial dims), which is what lets one compiled train
+    step cover all four EQ angles (reference ldm_utils.py:491-517 samples
+    k per step; pre-fold each k was its own compiled variant)."""
+    if isinstance(k, (int, np.integer)):
+        return jnp.rot90(x, k=int(k), axes=axes) if int(k) % 4 else x
+    assert x.shape[axes[0]] == x.shape[axes[1]], (
+        f"traced rot90 needs square spatial dims, got {x.shape}"
+    )
+    return jax.lax.switch(
+        jnp.asarray(k, jnp.int32) % 4,
+        [lambda v, i=i: jnp.rot90(v, k=i, axes=axes) for i in range(4)],
+        x,
+    )
 
 
 def resize_bicubic(x, size=None, scale_factor=None, antialias: bool = False):

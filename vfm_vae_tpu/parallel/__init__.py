@@ -1,3 +1,4 @@
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch, local_mesh,
-                   zero1_sharding, shard_opt_state, zero1_state_shardings)
+                   zero1_sharding, shard_opt_state, zero1_state_shardings, place_state,
+                   check_replica_consistency)
 from .tp import shard_heads, shard_hidden, shard_replicated_features

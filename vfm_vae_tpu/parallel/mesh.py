@@ -47,7 +47,12 @@ def make_mesh(
 
 
 def local_mesh() -> Mesh:
-    """Single-process mesh over all local devices, data-parallel only."""
+    """Default mesh, data-parallel only: all local devices single-process;
+    all GLOBAL devices under jax.distributed (every host runs the same jit
+    over one global mesh — the reference's per-rank DDP split collapses
+    into this, torch_utils/distributed.py:24-41)."""
+    if jax.process_count() > 1:
+        return make_mesh(jax.devices())
     return make_mesh(jax.local_devices())
 
 
@@ -61,7 +66,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of per-host arrays with batch-dim sharding."""
+    """Shard a pytree of batches over the data axis.
+
+    Single-process: plain device_put. Multi-process (global mesh): each
+    host holds only ITS slice of the global batch — assemble the global
+    array from the per-process shards (the jax analog of the reference's
+    per-rank DDP batch, where each rank's tensor never leaves its host)."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
     )
@@ -94,6 +111,50 @@ def shard_opt_state(mesh: Mesh, opt_state):
         if hasattr(x, "shape") and np.ndim(x) > 0 else x,
         opt_state,
     )
+
+
+def check_replica_consistency(tree) -> None:
+    """Assert replicated arrays are bit-identical across processes — the
+    reference's check_ddp_consistency (torch_utils/misc.py: per-param
+    rank-0 broadcast + compare). Each process hashes the LOCAL copy of
+    every replicated leaf; the fp64 digests are allgathered and compared.
+    No-op single-process. Raises RuntimeError naming the first leaf whose
+    digest diverges."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    names = ["/".join(str(getattr(k, "key", k)) for k in path)
+             for path, _ in leaves_with_paths]
+    # Exact crc32 of the local copy's bytes (replicated => the local copy
+    # IS the whole array on every process).
+    import zlib
+
+    digests = np.asarray(
+        [zlib.crc32(np.ascontiguousarray(jax.device_get(leaf)).tobytes())
+         for _, leaf in leaves_with_paths],
+        np.int64,
+    )
+    all_digests = np.asarray(multihost_utils.process_allgather(digests))
+    bad = np.nonzero(~np.all(all_digests == all_digests[0:1], axis=0))[0]
+    if bad.size:
+        raise RuntimeError(
+            f"replica divergence across processes in leaves: "
+            f"{[names[i] for i in bad[:5]]}"
+        )
+
+
+def place_state(mesh: Mesh, state):
+    """Commit a TrainState to its canonical layout: params/EMA/buffers
+    replicated, optimizer moments ZeRO-1 sharded (zero1_state_shardings).
+
+    Required for buffer donation: with uncommitted inputs GSPMD picks its
+    own input shardings (e.g. model-axis TP sharding for the frozen-tower
+    weights), which then cannot alias the replicated-pinned outputs —
+    XLA rejects the aliasing with a sub-shape size mismatch."""
+    sh = zero1_state_shardings(mesh, state)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
 def zero1_state_shardings(mesh: Mesh, state):

@@ -93,16 +93,27 @@ def training_loop(
     rank = jax.process_index()
     num_processes = jax.process_count()
     mesh = mesh or local_mesh()
-    np_rng = np.random.default_rng(random_seed * num_processes + rank)
+    # EQ bucket sampling must be IDENTICAL on every process: the (scale,
+    # angle, prior) tuple feeds the jitted SPMD step over the GLOBAL mesh,
+    # so divergent draws would have hosts executing different programs
+    # against the same collectives (per-sample randomness comes from the
+    # jax rng inside the step, not from this host rng).
+    np_rng = np.random.default_rng(random_seed)
     host_rng = jax.random.PRNGKey(random_seed)
 
     # ------------------------------------------------------------ dataset
     print0("Loading training set...")
     training_set = construct_class_by_name(**training_set_kwargs)
     tokenizer = None
+    assert batch_size % num_processes == 0, (
+        f"global batch {batch_size} not divisible by {num_processes} processes"
+    )
     data_iter = iter(
         training_set.loader(
-            batch_size=batch_size,
+            # batch_size is GLOBAL (configs/vfm_vae_details.yaml); each
+            # process loads only its slice (reference splits per rank,
+            # training_loop.py:272-289).
+            batch_size=batch_size // num_processes,
             workers=data_workers,
             base_seed=random_seed,
             num_processes=num_processes,
@@ -250,16 +261,14 @@ def training_loop(
         loss_state=init_loss_state(),
         cur_nimg=jnp.asarray(resume_kimg * 1000, jnp.float32),
     )
-    # ZeRO-1: shard Adam moments over the data axis (params/EMA replicated;
-    # XLA all-gathers only the parameter update — frees 2x-params fp32 of
-    # per-chip HBM, the binding constraint at 256px on 16GB v5e).
-    from ..parallel import shard_opt_state
+    # Commit the full state to its canonical layout: params/EMA replicated,
+    # Adam moments ZeRO-1 sharded over the data axis (frees 2x-params fp32
+    # of per-chip HBM, the binding constraint at 256px on 16GB v5e).
+    # Committing ALL leaves (not just the moments) is what makes buffer
+    # donation alias cleanly: input shardings == pinned output shardings.
+    from ..parallel import place_state
 
-    if mesh.shape.get("data", 1) > 1:
-        state = state.replace(
-            g_opt=shard_opt_state(mesh, state.g_opt),
-            d_opt=shard_opt_state(mesh, state.d_opt),
-        )
+    state = place_state(mesh, state)
 
     # ------------------------------------------------------------ resume
     if resume_path:
@@ -278,17 +287,9 @@ def training_loop(
             loaded["d_params"] = template["d_params"]
             loaded["d_opt"] = template["d_opt"]
         state = flax.serialization.from_state_dict(state, loaded)
-        # Restored arrays land on one device; re-replicate over the mesh,
-        # then re-shard the optimizer moments (ZeRO-1).
-        from ..parallel import replicated, shard_opt_state
-
-        rep = replicated(mesh)
-        state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
-        if mesh.shape.get("data", 1) > 1:
-            state = state.replace(
-                g_opt=shard_opt_state(mesh, state.g_opt),
-                d_opt=shard_opt_state(mesh, state.d_opt),
-            )
+        # Restored arrays land on one device; re-commit to the canonical
+        # layout (replicated params/EMA, ZeRO-1 moments).
+        state = place_state(mesh, state)
 
     eq_transform = EquivarianceTransform(
         apply=bool(lk.get("use_equivariance_regularization", False)),
@@ -326,8 +327,23 @@ def training_loop(
 
     _out_sh = (zero1_state_shardings(mesh, state), replicated(mesh), replicated(mesh))
 
+    from .train_step import jit_train_step
+
+    # donate=True: the TrainState (params + EMA + both Adam states) is
+    # consumed and rebound every step — without donation XLA double-buffers
+    # multiple GB of HBM (reference updates in-place implicitly,
+    # training_loop.py:727-742). OFF on the CPU backend: XLA's in-process
+    # CPU collectives deadlock under donated buffers (measured A/B,
+    # __graft_entry__._dryrun_multichip_impl has the full note); donation
+    # never changes numerics, so CPU tests validate the same program.
+    _donate = (mesh.devices.flat[0].platform != "cpu"
+               or os.environ.get("VFM_VAE_FORCE_DONATE") == "1")
+
     def _jit_step(fn):
-        return jax.jit(fn, static_argnames=("eq", "blur_sigma"), out_shardings=_out_sh)
+        # jit_train_step also folds the EQ rot90 angle into the compiled
+        # program (one variant per (scale, prior) bucket instead of per
+        # angle).
+        return jit_train_step(fn, out_shardings=_out_sh, donate=_donate)
 
     # fused_phases: one jitted simultaneous D+G update sharing the generator
     # forward (train_step.fused_step) instead of the sequential [D, G] pair.
@@ -349,6 +365,13 @@ def training_loop(
     tick_start_time = time.time()
     step_count = 0
     first_batch_saved = False
+    # VFM_VAE_SYNC_TIMING=1 restores per-phase device sync (accurate
+    # Timing/D vs Timing/G split, at the cost of serializing dispatch);
+    # default timing is dispatch wall only — sec/kimg stays authoritative
+    # because the tick boundary syncs.
+    _sync_timing = os.environ.get("VFM_VAE_SYNC_TIMING") == "1"
+    pipeline_depth = int(os.environ.get("VFM_VAE_PIPELINE_DEPTH", "4"))
+    inflight: list = []
 
     with jax.sharding.set_mesh(mesh):
         while True:
@@ -375,21 +398,35 @@ def training_loop(
                 first_batch_saved = True
 
             host_rng, r1, r2 = jax.random.split(host_rng, 3)
+            sync_res = _sync_timing or None
             if fused_phases:
                 eq_g = eq_transform(np_rng)
-                with timer.phase("Timing/G"):
+                with timer.phase("Timing/G") as ph:
                     state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
-                    jax.block_until_ready(g_total)
+                    if sync_res:
+                        ph(g_total)
                 d_stats = {}
             else:
                 eq_d = eq_transform(np_rng)
-                with timer.phase("Timing/D"):
+                with timer.phase("Timing/D") as ph:
                     state, d_stats, d_total = d_step(state, real, real_c, r1, eq_d)
-                    jax.block_until_ready(d_total)
+                    if sync_res:
+                        ph(d_total)
                 eq_g = eq_transform(np_rng)
-                with timer.phase("Timing/G"):
+                with timer.phase("Timing/G") as ph:
                     state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
-                    jax.block_until_ready(g_total)
+                    if sync_res:
+                        ph(g_total)
+
+            # No per-step device sync (reference pattern: CUDA events synced
+            # only at tick, training_loop.py:630-635): the host runs ahead so
+            # dispatch latency overlaps device compute. A depth-K pipeline of
+            # step totals bounds the run-ahead and forces a real host read of
+            # step i-K while step i executes (the axon tunnel does not
+            # guarantee execution on block_until_ready alone).
+            inflight.append(g_total)
+            if len(inflight) > pipeline_depth:
+                float(inflight.pop(0))
 
             if warmup_fsm.active:
                 # Host sync only while a warm-up is pending.
@@ -403,7 +440,8 @@ def training_loop(
                         trainer.fused_step if fused_phases else trainer.g_step
                     )
             step_count += 1
-            cur_nimg += images.shape[0]
+            # images is this process's slice; kimg accounting is global.
+            cur_nimg += images.shape[0] * num_processes
 
             done = cur_nimg >= total_kimg * 1000 or (
                 max_steps is not None and step_count >= max_steps
@@ -415,8 +453,12 @@ def training_loop(
                 continue
 
             # ---- tick maintenance ----
+            # device_get on the newest step's stats forces completion of
+            # every step dispatched this tick (per-device program order), so
+            # sec/tick below reflects real device time, not dispatch time.
             collector.update(jax.device_get(d_stats))
             collector.update(jax.device_get(g_stats))
+            inflight.clear()
             tick_time = time.time() - tick_start_time
             total_time = time.time() - start_time
             fields = [
@@ -455,19 +497,33 @@ def training_loop(
             collector.reset()
 
             snap_path = None
-            if rank == 0 and network_snapshot_ticks and (
+            if network_snapshot_ticks and (
                 cur_tick % network_snapshot_ticks == 0 or done
             ):
                 import flax.serialization
 
-                sd = flax.serialization.to_state_dict(state)
-                snap_path = save_snapshot(run_dir, cur_nimg // 1000, sd)
-                print0(f"Saved snapshot {snap_path}")
+                snap_state = state
+                if num_processes > 1:
+                    # ZeRO-1 moments are sharded across HOSTS on the global
+                    # mesh; all-gather them to the replicated layout so rank
+                    # 0 holds every byte (all processes must execute this
+                    # jit — SPMD). Reference rank-0 save: training_loop.py.
+                    snap_state = jax.jit(
+                        lambda s: s, out_shardings=replicated(mesh)
+                    )(state)
+                if rank == 0:
+                    sd = flax.serialization.to_state_dict(snap_state)
+                    snap_path = save_snapshot(run_dir, cur_nimg // 1000, sd)
+                    print0(f"Saved snapshot {snap_path}")
+                del snap_state
 
             # Metric evaluation rides the snapshot cadence (reference:
             # training_loop.py metric block — calc_metric per configured name
             # on the snapshot, report to metric-<name>.jsonl).
-            if rank == 0 and metrics and network_snapshot_ticks and (
+            # In-loop extras are single-process only: they run eager/local
+            # G.apply on rank 0, which cannot touch globally-sharded arrays
+            # under jax.distributed (offline tools are authoritative anyway).
+            if num_processes == 1 and rank == 0 and metrics and network_snapshot_ticks and (
                 cur_tick % network_snapshot_ticks == 0 or done
             ):
                 from ..metrics import metric_main
@@ -518,7 +574,7 @@ def training_loop(
                     metric_main.report_metric(res, run_dir=run_dir, snapshot_pkl=snap_path)
                     wandb_sink.log_metrics(res["results"], step=int(cur_nimg / 1e3))
 
-            if rank == 0 and image_snapshot_ticks and (
+            if num_processes == 1 and rank == 0 and image_snapshot_ticks and (
                 cur_tick % image_snapshot_ticks == 0 or done
             ):
                 ema_g = state.ema_params
@@ -551,6 +607,20 @@ def training_loop(
             tick_start_time = time.time()
             if done:
                 break
+
+    if num_processes > 1:
+        # Reference's check_ddp_consistency analog (torch_utils/misc.py):
+        # every process digests its local copy of the replicated params and
+        # the digests are allgathered + compared — a silent pod-level
+        # divergence (bad ICI link, non-deterministic op) fails loudly here.
+        from ..parallel import check_replica_consistency
+
+        check_replica_consistency(
+            {"g_params": state.g_params, "ema": state.ema_params,
+             "d_params": state.d_params},
+        )
+        print0("[multihost] replica consistency OK "
+               f"({num_processes} processes)")
 
     if stats_file is not None:
         stats_file.close()

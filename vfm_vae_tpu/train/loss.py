@@ -32,7 +32,7 @@ import numpy as np
 
 from ..core import stats as tstats
 from ..ops.upfirdn import filter2d
-from ..ops.resize import resize_bilinear, resize_bicubic
+from ..ops.resize import resize_bilinear, resize_bicubic, rot90_traced
 from .ssim import ssim as ssim_fn
 
 SAFE_MARK, UNSAFE_MARK = 1, 0
@@ -180,12 +180,12 @@ class ImageTransform:
         antialias = scale_factor < 1.0
         return fn(img, scale_factor=scale_factor, antialias=antialias)
 
-    def __call__(self, img, eq_scale_factor: float, eq_angle_factor: int):
+    def __call__(self, img, eq_scale_factor: float, eq_angle_factor):
         if self.apply_equivariance:
             if eq_scale_factor != 1.0:
                 img = self._resize(img, scale_factor=eq_scale_factor)
-            if eq_angle_factor % 4 != 0:
-                img = jnp.rot90(img, k=eq_angle_factor, axes=(2, 1))
+            # May be traced (EQ angle folding — ops/resize.rot90_traced).
+            img = rot90_traced(img, eq_angle_factor, axes=(2, 1))
         return img
 
     def multiscale(self, img, targets):

@@ -65,6 +65,44 @@ def _microbatches(x, n):
     ]
 
 
+def jit_train_step(fn, out_shardings=None, donate: bool = True):
+    """jit a Trainer step with EQ **angle folding**: the rot90 angle becomes
+    a traced int32 (ops/resize.rot90_traced lowers it to a 4-way lax.switch),
+    so one compiled program covers all four angles of a (scale, prior)
+    bucket, and the shape-identical (1.0, 0, prior=True) bucket is
+    canonicalized onto (1.0, 0, False). Cuts EQ compile variants from up to
+    20 to 7 (4 scales x {latent, prior} minus merges). The returned callable
+    keeps the plain step signature: (state, real, real_c, rng,
+    eq=(scale, angle, prior), blur_sigma).
+
+    Exposes `.jitted` (the inner jax.jit object) for cache introspection
+    (tests / tools/bench_eq_compile.py)."""
+    kw: Dict[str, Any] = dict(static_argnames=("eq_static", "blur_sigma"))
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    if donate:
+        kw["donate_argnames"] = ("state",)
+
+    @functools.partial(jax.jit, **kw)
+    def step(state, real_img, real_c, rng, eq_angle, eq_static, blur_sigma):
+        scale, prior = eq_static
+        return fn(state, real_img, real_c, rng, (scale, eq_angle, prior), blur_sigma)
+
+    def call(state, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
+        scale, angle, prior = eq
+        if prior and float(scale) == 1.0:
+            # Identical program: prior with no downscale == latent EQ with
+            # identity transform (vfm.py preprocess gates on scale < 1.0;
+            # generator latent path is identity at scale 1, angle 0).
+            prior, angle = False, 0
+        return step(state, real_img, real_c, rng,
+                    jnp.asarray(angle, jnp.int32), (float(scale), bool(prior)),
+                    blur_sigma)
+
+    call.jitted = step
+    return call
+
+
 G_STAT_NAMES = {
     "l1_pixel_loss": "Loss/G/l1_pixel_loss",
     "l2_pixel_loss": "Loss/G/l2_pixel_loss",
