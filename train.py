@@ -44,7 +44,18 @@ def main():
         import jax
 
         # On TPU pods all arguments are auto-detected from the environment.
-        jax.distributed.initialize()
+        # VFM_VAE_COORD/_NPROC/_PROC_ID override for explicit bootstraps
+        # (e.g. the localhost 2-process CPU smoke, tools/multihost_smoke.py;
+        # CPU cross-process collectives ride gloo, jax's default).
+        coord = os.environ.get("VFM_VAE_COORD")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["VFM_VAE_NPROC"]),
+                process_id=int(os.environ["VFM_VAE_PROC_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
 
     from vfm_vae_tpu.core.config import derive_config, load_config
     from vfm_vae_tpu.core.logging import Logger, print0
