@@ -10,7 +10,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    # The concurrency-optimized thunk scheduler executes independent
+    # collectives in per-device nondeterministic order, which can
+    # cross-deadlock the virtual-CPU in-process rendezvous (see
+    # __graft_entry__.dryrun_multichip). Deterministic order for tests.
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -11,6 +11,8 @@ collapses to the in-graph global mean under jit, SURVEY §5.8).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # full discrete train step on the 8-device mesh
+
 import jax
 import jax.numpy as jnp
 

@@ -79,6 +79,7 @@ def make_cfg(root, vfm, data, c2t):
     )
 
 
+@pytest.mark.heavy
 def test_training_loop_runs_and_snapshots(tiny_env, mesh8):
     from vfm_vae_tpu.train.loop import training_loop
 
@@ -103,6 +104,7 @@ def test_training_loop_runs_and_snapshots(tiny_env, mesh8):
     assert np.isfinite(m["results"]["psnr"]) and 0 <= m["results"]["ssim"] <= 1
 
 
+@pytest.mark.heavy
 def test_training_loop_resumes(tiny_env, mesh8):
     from vfm_vae_tpu.train.checkpoint import find_latest_snapshot
     from vfm_vae_tpu.train.loop import training_loop
@@ -118,6 +120,7 @@ def test_training_loop_resumes(tiny_env, mesh8):
     assert np.isfinite(float(state.cur_nimg))
 
 
+@pytest.mark.heavy
 def test_training_loop_conditional_text_snapshot(tiny_env, mesh8, tmp_path_factory,
                                                  monkeypatch):
     """conditional=True + label_type=cls2text across an image-snapshot tick:

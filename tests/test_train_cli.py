@@ -16,6 +16,8 @@ import sys
 import pytest
 import yaml
 
+pytestmark = pytest.mark.heavy  # e2e CLI subprocess, ~9 min on a fast host
+
 from tests.test_loop import make_cfg, tiny_env  # noqa: F401  (fixture)
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
