@@ -345,6 +345,33 @@ def test_eq_angle_folding(rig, mesh8):
         )
 
 
+def test_place_state_breaks_donation_aliases(rig):
+    """A TrainState fresh from init aliases g_params and ema_params (one
+    jax.Array in two slots). Donating that state is an XLA runtime error
+    ("attempt to donate the same buffer twice" — surfaced through the axon
+    tunnel as a bare InvalidArgument). place_state is the canonical commit
+    point and must break the alias."""
+    from vfm_vae_tpu.parallel import make_mesh, place_state
+
+    _, state, _ = rig
+    leaf = lambda s: jax.tree_util.tree_leaves(s.g_params)[0]
+    assert leaf(state) is jax.tree_util.tree_leaves(state.ema_params)[0]
+
+    mesh = make_mesh(jax.devices()[:1])  # 1 device: no collectives, so
+    placed = place_state(mesh, state)    # donation is safe on CPU here
+    g_ids = {id(x) for x in jax.tree_util.tree_leaves(placed.g_params)}
+    e_ids = {id(x) for x in jax.tree_util.tree_leaves(placed.ema_params)}
+    assert not (g_ids & e_ids)
+
+    # The donated pass-through actually executes (this is what failed).
+    step = jax.jit(
+        lambda s: jax.tree_util.tree_map(lambda x: x + 0, s),
+        donate_argnums=(0,),
+    )
+    out = step(placed)
+    assert np.isfinite(float(jax.tree_util.tree_leaves(out.g_params)[0].sum()))
+
+
 def test_adam_mask_freezes_exactly():
     """Masked-out leaves must receive a ZERO update. optax.masked alone
     passes the raw gradient through as the update (gradient ascent at

@@ -106,27 +106,43 @@ def main():
     real = jnp.asarray(np.random.default_rng(0).random((B, res, res, 3)), jnp.float32)
     rng = jax.random.PRNGKey(0)
 
+    from vfm_vae_tpu.train.train_step import jit_train_step
+
     step = trainer.fused_step if args.fused else trainer.g_step
-    jfn = jax.jit(step, static_argnames=("eq", "blur_sigma"))
+    # The loop's production jit (train/loop.py _jit_step without the mesh
+    # shardings): rot90 angle traced via lax.switch, prior@1.0 canonicalized
+    # — the 20 sampler buckets map onto <=7 compiled programs.
+    jfn = jit_train_step(step, donate=False)
+    angle = jnp.zeros((), jnp.int32)
+
+    # Unique compiled variants after folding (call-side canonicalization
+    # mirrored here: prior@scale 1.0 folds onto the plain bucket).
+    variants = []
+    for s, r, p in eq_buckets():
+        key = (float(s), False) if (p and float(s) == 1.0) else (float(s), bool(p))
+        if key not in variants:
+            variants.append(key)
+    print(f"{len(eq_buckets())} sampler buckets -> {len(variants)} compiled variants")
 
     total = 0.0
     n_ok = 0
-    for eq in eq_buckets():
+    for scale, prior in variants:
         t0 = time.perf_counter()
         try:
-            jfn.lower(state, real, None, rng, eq).compile()
+            jfn.jitted.lower(state, real, None, rng, angle, (scale, prior),
+                             0.0).compile()
         except Exception as e:
             # Tiny geometries can't take the extreme downscales (z falls
             # below the concat-z unshuffle factor) — flagship can.
-            print(f"bucket scale={eq[0]:<4} rot={eq[1]} prior={int(eq[2])}: "
+            print(f"variant scale={scale:<4} prior={int(prior)}: "
                   f"skipped ({type(e).__name__})", flush=True)
             continue
         dt = time.perf_counter() - t0
         total += dt
         n_ok += 1
-        print(f"bucket scale={eq[0]:<4} rot={eq[1]} prior={int(eq[2])}: "
-              f"{dt:7.1f} s", flush=True)
-    print(f"TOTAL compile for {n_ok} EQ buckets: {total / 60:.1f} min")
+        print(f"variant scale={scale:<4} prior={int(prior)}: {dt:7.1f} s",
+              flush=True)
+    print(f"TOTAL compile for {n_ok} EQ step variants: {total / 60:.1f} min")
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_rig(batch: int, remat: bool = True):
+def build_rig(batch: int, remat="full"):
     """Flagship stage-0 training rig (shared with
     tools/profile_attribution.py --train): returns (trainer, state, real, rng)."""
     import numpy as np
@@ -81,7 +81,9 @@ def build_rig(batch: int, remat: bool = True):
     state = TrainState(
         g_params=gv["params"], d_params=dv["params"],
         g_bufs=gv.get("buffers", {}), d_bufs=dv.get("buffers", {}),
-        ema_params=gv["params"],
+        # Distinct buffers: donating one buffer from two TrainState slots
+        # is an XLA INVALID_ARGUMENT (see parallel/mesh.py place_state).
+        ema_params=jax.tree_util.tree_map(jnp.copy, gv["params"]),
         g_opt=g_tx.init(gv["params"]), d_opt=d_tx.init(dv["params"]),
         loss_state=init_loss_state(),
         cur_nimg=jnp.zeros((), jnp.float32),
@@ -94,13 +96,25 @@ def build_rig(batch: int, remat: bool = True):
 V5E_PEAK_TFLOPS = 197.0  # bf16 MXU peak, TPU v5e (serving dossier baseline)
 
 
-def _step_flops(jitted, *args):
-    """FLOPs of one compiled step via XLA cost analysis (0.0 if missing)."""
+def _step_flops(jitted, state, real, *rest):
+    """FLOPs of one step via XLA cost analysis, probed at batch 2 and scaled
+    linearly to the bench batch (0.0 if unavailable).
+
+    Why the dance: on this backend Lowered.cost_analysis() returns None —
+    only Compiled.cost_analysis() has numbers — but compiling the probe
+    AOT LOADS a second copy of the program onto the chip, and at B8 the
+    duplicate executable alone OOMs HBM (measured). A B2 probe is small
+    enough to coexist; conv/matmul FLOPs are exactly batch-linear and the
+    non-batch terms (optimizer elementwise, EMA) are FLOPs-noise."""
+    import jax
+
+    B = real.shape[0]
+    probe_b = min(2, B)
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = jitted.lower(state, real[:probe_b], *rest).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return float(ca.get("flops", 0.0)) * (B / probe_b)
     except Exception:
         return 0.0
 
@@ -113,8 +127,16 @@ def main():
                     help="simultaneous D+G step sharing one G forward")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-layer rematerialization (A/B: HBM fit vs recompute cost)")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=["full", "dots", "names"],
+                    help="decoder checkpoint policy (models/synthesis.remat_layer): "
+                         "full = recompute everything; dots = save matmul outputs; "
+                         "names = save only the dwconv_out residuals")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable TrainState buffer donation (A/B vs the loop default)")
+    ap.add_argument("--no-mfu", action="store_true",
+                    help="skip the FLOPs probe (a second B2 compile, "
+                         "several minutes through the tunnel)")
     ap.add_argument("--pipeline", type=int, default=4,
                     help="steady-state dispatch depth (0 = force every step, "
                          "matches the pre-r3 loop; default mirrors train/loop.py)")
@@ -123,7 +145,8 @@ def main():
     import numpy as np
     import jax
 
-    trainer, state, real, rng = build_rig(args.batch, remat=not args.no_remat)
+    trainer, state, real, rng = build_rig(
+        args.batch, remat=False if args.no_remat else args.remat_policy)
     B = args.batch
     donate = () if args.no_donate else ("state",)
 
@@ -133,7 +156,8 @@ def main():
         flops = 0.0
         for name, fn in step_fns:
             t0 = time.perf_counter()
-            flops += _step_flops(fn, state, real, None, rng, (1.0, 0, False))
+            if not args.no_mfu:
+                flops += _step_flops(fn, state, real, None, rng, (1.0, 0, False))
             state_new, _, total = fn(state, real, None, rng, (1.0, 0, False))
             print(f"{name} compile+run {time.perf_counter() - t0:.1f}s "
                   f"loss={float(total):.4f}", flush=True)
@@ -157,6 +181,7 @@ def main():
               f"{B / dt:.2f} img/s/chip | step {flops / 1e12:.2f} TFLOP "
               f"({flops / 1e12 / B:.2f}/img) -> MFU {mfu * 100:.1f}% "
               f"(donate={'off' if args.no_donate else 'on'}, "
+              f"remat={'off' if args.no_remat else args.remat_policy}, "
               f"pipeline={args.pipeline}, finite={np.isfinite(float(total))})")
 
     jit_kw = dict(static_argnames=("eq", "blur_sigma"), donate_argnames=donate)

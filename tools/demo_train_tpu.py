@@ -190,6 +190,57 @@ def demo_config(root: str, data: str, vfm: str, c2t: str, batch: int) -> str:
     return path
 
 
+def make_val_folder(root: str, n: int, size: int) -> str:
+    """Held-out PNGs from the same synthetic distribution (seed differs
+    from make_dataset's training seed)."""
+    import PIL.Image
+
+    d = os.path.join(root, "val_images")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(12345)
+    for i in range(n):
+        PIL.Image.fromarray(synth_image(rng, size)).save(
+            os.path.join(d, f"val_{i:05d}.png"))
+    return d
+
+
+def run_tool(argv: list) -> str:
+    proc = subprocess.run(
+        [sys.executable] + argv, cwd=REPO, text=True, capture_output=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise RuntimeError(f"{argv[1]} failed rc={proc.returncode}")
+    return proc.stdout
+
+
+def quality_eval(config: str, snapshot: str, val_dir: str, out_dir: str,
+                 batch: int) -> dict:
+    """Chain the reference's eval recipe (README.md:341-357) on one
+    snapshot: reconstruct -> fidelity (rFID/rIS) -> evaluate (PSNR/SSIM).
+    Returns {fid, inception_score_mean, psnr, ssim}."""
+    run_tool(["tools/reconstruct/reconstruct.py", "--config", config,
+              "--snapshot", snapshot, "--data", val_dir, "--out", out_dir,
+              "--batch", str(batch)])
+    fid_out = run_tool(["tools/reconstruct/fidelity.py", "--fid", "--isc",
+                        "--input1", os.path.join(out_dir, "outputs"),
+                        "--input2", os.path.join(out_dir, "inputs"),
+                        "--batch", str(batch)])
+    res = json.loads(fid_out.strip().splitlines()[-1])
+    ev_out = run_tool(["tools/reconstruct/evaluate.py",
+                       "--inputs", os.path.join(out_dir, "inputs"),
+                       "--outputs", os.path.join(out_dir, "outputs"),
+                       "--batch", str(batch)])
+    for line in ev_out.strip().splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            try:
+                res[k.strip()] = float(v)
+            except ValueError:
+                pass
+    return res
+
+
 def run_cli(config: str, steps: int) -> None:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "train.py"),
@@ -218,6 +269,10 @@ def main():
     ap.add_argument("--resume-steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--run-dir", default="/tmp/vfm_vae_demo")
+    ap.add_argument("--no-quality", action="store_true",
+                    help="skip the turnkey quality rehearsal (train -> "
+                         "reconstruct -> fidelity -> evaluate chain)")
+    ap.add_argument("--val-images", type=int, default=96)
     args = ap.parse_args()
 
     root = args.run_dir
@@ -245,6 +300,38 @@ def main():
     found_snapshot = "[auto-resume] found" in log
 
     ok = l1_last < l1_first and resumed and found_snapshot
+
+    # ---- Turnkey quality rehearsal (VERDICT r2 item 2): the chained user
+    # workflow train -> snapshot -> reconstruct -> fidelity (rFID/rIS) ->
+    # evaluate (PSNR/SSIM), run on the EARLIEST snapshot (~5 steps, near
+    # random init) and the final one. Training must win on every metric.
+    # (No production Inception/LPIPS weights in this environment, so the
+    # rFID detector is random-init — valid for relative comparisons, the
+    # tool warns; reference recipe: /root/reference/README.md:341-357.)
+    quality = None
+    if not args.no_quality:
+        from glob import glob as _glob
+
+        snaps = sorted(_glob(os.path.join(run_dir, "network-snapshot-*")))
+        assert len(snaps) >= 2, f"need early+late snapshots, got {snaps}"
+        val_dir = make_val_folder(root, n=args.val_images, size=72)
+        early = quality_eval(config, snaps[0], val_dir,
+                             os.path.join(root, "recon_early"), args.batch)
+        late = quality_eval(config, snaps[-1], val_dir,
+                            os.path.join(root, "recon_late"), args.batch)
+        quality = {
+            "early": {k: round(v, 4) for k, v in early.items()},
+            "late": {k: round(v, 4) for k, v in late.items()},
+            "snapshots": [os.path.basename(snaps[0]), os.path.basename(snaps[-1])],
+        }
+        trained_wins = (
+            late["rfid"] < early["rfid"]
+            and late["psnr"] > early["psnr"]
+            and late["ssim"] > early["ssim"]
+        )
+        quality["trained_wins"] = bool(trained_wins)
+        ok = ok and trained_wins
+
     print(json.dumps({
         "metric": "demo_train_l1_trajectory",
         "l1_first": round(l1_first, 4),
@@ -253,6 +340,7 @@ def main():
         "ticks": len(rows),
         "kimg": rows[-1][0],
         "resumed": bool(resumed and found_snapshot),
+        "quality": quality,
         "ok": bool(ok),
     }))
     sys.exit(0 if ok else 1)

@@ -82,8 +82,19 @@ def analyze(trace_dir: str, iters: int, batch: int, top: int = 25):
     print(f"device op time: {tot / scale:.2f} ms/call"
           f"  ({tot / scale / batch * 1e3:.0f} us/img at B{batch})")
 
+    def direction(t: str) -> str:
+        """Classify an op path: fwd, bwd (cotangent math), or remat
+        (forward recompute re-run inside the backward)."""
+        if "rematted_computation" in t or "checkpoint" in t:
+            return "remat"
+        if "transpose(" in t or t.startswith("transpose"):
+            return "bwd"
+        return "fwd"
+
     mod = collections.Counter()
     src = collections.Counter()
+    direc = collections.Counter()
+    bwd_mod = collections.Counter()
     for e in ev:
         a = e.get("args", {})
         t = a.get("tf_op", "")
@@ -98,7 +109,18 @@ def analyze(trace_dir: str, iters: int, batch: int, top: int = 25):
             key = e["name"][:40]
         mod[key] += e["dur"]
         src[a.get("source", "?")] += e["dur"]
+        d = direction(t)
+        direc[d] += e["dur"]
+        if d != "fwd":
+            bwd_mod[f"[{d}] {key}"] += e["dur"]
 
+    print("\n-- by direction (fwd / bwd cotangent / remat recompute) --")
+    for k, d in direc.most_common():
+        print(f"{d / scale:9.2f} ms/call {100 * d / max(tot, 1):5.1f}%  {k}")
+    if direc["bwd"] or direc["remat"]:
+        print("\n-- within the backward (bwd + remat), by module --")
+        for k, d in bwd_mod.most_common(top):
+            print(f"{d / scale:9.2f} ms/call {100 * d / max(tot, 1):5.1f}%  {k}")
     print("\n-- by module (top 2 path levels) --")
     for k, d in mod.most_common(top):
         print(f"{d / scale:9.2f} ms/call {100 * d / max(tot, 1):5.1f}%  {k}")
@@ -118,6 +140,10 @@ def main():
                     help="attribute the dual-phase TRAINING step (bench_train "
                          "rig, remat generator) instead of serving; use "
                          "--batch 4 scale")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=["full", "dots", "names"],
+                    help="decoder checkpoint policy for --train "
+                         "(models/synthesis.remat_layer)")
     ap.add_argument("--int8-encode", action="store_true",
                     help="attribute the static-scale W8A8 ENCODE path "
                          "(VFM_VAE_INT8_VFM tower) instead of the full "
@@ -137,7 +163,7 @@ def main():
 
         if args.batch > 16:
             args.batch = 4  # serving default doesn't fit the backward
-        trainer, state, real, rng = build_rig(args.batch)
+        trainer, state, real, rng = build_rig(args.batch, remat=args.remat_policy)
         d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
         g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.pixelshuffle import pixel_shuffle
 from ..ops.resize import resize_bilinear
@@ -55,6 +56,11 @@ class ConvNeXtSynthesisLayer(nn.Module):
             bias_init=nn.initializers.zeros,
             name="dwconv",
         )(x)
+        # Named checkpoint so a selective remat policy
+        # (save_only_these_names) can keep this map and skip the
+        # dwconv+GN-stats recompute in the backward: the fused-MLP
+        # custom_vjp saves exactly this tensor as its residual.
+        x = checkpoint_name(x, "dwconv_out")
 
         if self.legacy:
             # Static per-resolution noise map kept for checkpoint compat

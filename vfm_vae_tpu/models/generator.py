@@ -90,7 +90,10 @@ class Generator(nn.Module):
     legacy: bool = False
     synthesis_kwargs: Dict[str, Any] = None
     compute_dtype: Any = jnp.float32
-    remat: bool = False  # rematerialize ViT + ConvNeXt blocks (training memory)
+    remat: Any = False  # rematerialize ViT + ConvNeXt blocks (training memory).
+    # Bool or a decoder policy string ("full"/"dots"/"names", see
+    # synthesis.remat_layer); the ViT tower treats any truthy value as
+    # blanket per-block remat (no named residuals there to select on).
 
     # ------------------------------------------------------------ derived
 
@@ -186,7 +189,7 @@ class Generator(nn.Module):
             conditional=self.conditional,
             label_type=self.label_type,
             compute_dtype=self.compute_dtype,
-            remat=self.remat,
+            remat=bool(self.remat),
             name="vfm_encoder",
         )
         patch_res = int(self.img_resolution * self.scale_factor // self.vfm_encoder.patch_size)

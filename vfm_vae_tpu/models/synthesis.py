@@ -40,6 +40,34 @@ from .layers import (
 from .modulated import demod_coefs, modulated_conv2d
 
 
+def remat_layer(layer_cls, remat):
+    """Map the remat knob onto a (possibly policy-carrying) lifted checkpoint.
+
+    `remat` accepts:
+      False / "none"  — no rematerialization (backward stores every residual).
+      True  / "full"  — blanket per-layer `nn.remat` (recompute everything).
+      "dots"          — `jax.checkpoint_policies.dots_saveable`: keep matmul
+                        outputs, recompute only elementwise chains.
+      "names"         — `save_only_these_names("dwconv_out")`: keep exactly
+                        the dwconv output that the fused-MLP custom_vjp needs
+                        as its residual (models/convnext.py marks it), so the
+                        backward skips the dwconv+GroupNorm recompute while
+                        still dropping the wide MLP hidden.
+    """
+    if not remat or remat == "none":
+        return layer_cls
+    if remat is True or remat == "full":
+        return nn.remat(layer_cls)
+    if remat == "dots":
+        return nn.remat(layer_cls, policy=jax.checkpoint_policies.dots_saveable)
+    if remat == "names":
+        return nn.remat(
+            layer_cls,
+            policy=jax.checkpoint_policies.save_only_these_names("dwconv_out"),
+        )
+    raise ValueError(f"unknown remat policy: {remat!r}")
+
+
 class SynthesisInput(nn.Module):
     """Fourier-feature input grid (generator.py:106-187)."""
 
@@ -230,7 +258,7 @@ class SynthesisBlock(nn.Module):
     add_additional_convnext: bool = False
     legacy: bool = False
     compute_dtype: Any = jnp.float32
-    remat: bool = False
+    remat: Any = False  # False/True/"full"/"dots"/"names" (see remat_layer)
 
     @property
     def num_conv(self) -> int:
@@ -276,7 +304,7 @@ class SynthesisBlock(nn.Module):
             )(next_w())
         x = x.astype(dtype)
 
-        ConvNeXtLayer = nn.remat(ConvNeXtSynthesisLayer) if self.remat else ConvNeXtSynthesisLayer
+        ConvNeXtLayer = remat_layer(ConvNeXtSynthesisLayer, self.remat)
         if self.use_convnext:
             if self.in_channels != 0:
                 x = SeparableUpsampleWithFixedBlur(
@@ -547,7 +575,7 @@ class SynthesisNetwork(nn.Module):
     legacy: bool = False
     architecture: str = "skip"
     compute_dtype: Any = jnp.float32
-    remat: bool = False  # jax.checkpoint each ConvNeXt layer
+    remat: Any = False  # jax.checkpoint each ConvNeXt layer (policy: remat_layer)
 
     @property
     def block_resolutions(self) -> List[int]:

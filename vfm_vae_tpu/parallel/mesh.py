@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -152,9 +153,28 @@ def place_state(mesh: Mesh, state):
     Required for buffer donation: with uncommitted inputs GSPMD picks its
     own input shardings (e.g. model-axis TP sharding for the frozen-tower
     weights), which then cannot alias the replicated-pinned outputs —
-    XLA rejects the aliasing with a sub-shape size mismatch."""
+    XLA rejects the aliasing with a sub-shape size mismatch.
+
+    Also breaks buffer ALIASES inside the state: a TrainState fresh from
+    init holds the same jax.Array as both g_params and ema_params (the
+    reference's `copy.deepcopy(G).eval()` analog, training_loop.py:575).
+    device_put with an unchanged sharding is a no-op, so both slots would
+    donate one buffer and XLA rejects the step at runtime with
+    INVALID_ARGUMENT "attempt to donate the same buffer twice" — surfaced
+    through the axon tunnel as a bare "TPU backend error"."""
     sh = zero1_state_shardings(mesh, state)
-    return jax.tree_util.tree_map(jax.device_put, state, sh)
+    seen: set = set()
+
+    def put(x, s):
+        y = jax.device_put(x, s)
+        if isinstance(x, jax.Array):
+            if id(x) in seen:
+                y = jnp.copy(y)
+            else:
+                seen.add(id(x))
+        return y
+
+    return jax.tree_util.tree_map(put, state, sh)
 
 
 def zero1_state_shardings(mesh: Mesh, state):
