@@ -126,6 +126,11 @@ def training_loop(
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     g_cls = get_class_by_name(G_kwargs.get("class_name", "networks.generator.Generator"))
     gk = {k: v for k, v in G_kwargs.items() if k != "class_name"}
+    # Training default: selective rematerialization with the dots policy —
+    # measured fastest at the flagship B8 fused step (447.1 ms vs 466 full /
+    # 450 off, tools/bench_train.py) and lower HBM high-water than no-remat.
+    # YAML G_kwargs `remat:` overrides (false / full / dots / names).
+    gk.setdefault("remat", "dots")
     G = g_cls(compute_dtype=dtype, **gk)
     d_cls = get_class_by_name(
         D_kwargs.get("class_name", "networks.discriminator.ProjectedDiscriminator")
@@ -571,6 +576,12 @@ def training_loop(
                         mname, pairs=pairs,
                         lpips_module=lpips_module, lpips_params=lpips_params,
                     )
+                    # Stamp the sample size into the record itself: these
+                    # in-loop numbers are a smoke trend over a few streamed
+                    # batches, not the offline 50k-image evaluation, and the
+                    # jsonl/wandb row should say so without external context.
+                    res["results"]["num_val_images"] = int(
+                        sum(p[0].shape[0] for p in pairs))
                     metric_main.report_metric(res, run_dir=run_dir, snapshot_pkl=snap_path)
                     wandb_sink.log_metrics(res["results"], step=int(cur_nimg / 1e3))
 
