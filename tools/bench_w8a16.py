@@ -41,15 +41,24 @@ def decoder_mlp_shapes(batch: int):
             for i, r in enumerate(res)]
 
 
-def bench(fn, *args, iters=20):
+def bench(fn, x, *ws, iters=20):
+    """Time `fn(x, *ws)` with `iters` sequential in-graph applications via
+    lax.scan (one RPC). Host-side repeat-and-block timing is NOT valid on
+    this tunnel (block_until_ready returns before device completion —
+    measured 46 PFLOP/s on a 128-deep matmul); the vanishing feedback term
+    makes each iteration depend on the last so XLA cannot hoist or CSE."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def body(c, _):
+        y = fn(c, *ws)
+        c2 = c * (1 + 1e-30 * jnp.sum(y).astype(c.dtype))
+        return c2, None
+
+    f = jax.jit(lambda v: jax.lax.scan(body, v, None, length=iters)[0])
+    float(jnp.sum(f(x)))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(f(x)))
     return (time.perf_counter() - t0) / iters
 
 
