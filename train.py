@@ -45,8 +45,9 @@ def main():
 
         # On TPU pods all arguments are auto-detected from the environment.
         # VFM_VAE_COORD/_NPROC/_PROC_ID override for explicit bootstraps
-        # (e.g. the localhost 2-process CPU smoke, tools/multihost_smoke.py;
-        # CPU cross-process collectives ride gloo, jax's default).
+        # (e.g. the localhost 2-process CPU smoke,
+        # tests/test_multihost_real.py; CPU cross-process collectives ride
+        # gloo, jax's default).
         coord = os.environ.get("VFM_VAE_COORD")
         if coord:
             jax.distributed.initialize(

@@ -57,6 +57,47 @@ def local_mesh() -> Mesh:
     return make_mesh(jax.local_devices())
 
 
+def warm_up_collectives(mesh: Mesh) -> None:
+    """Establish cross-process communicator contexts while all processes
+    are still in lockstep (right after jax.distributed.initialize), BEFORE
+    any expensive train-step compile.
+
+    Why: communicator setup (gloo on CPU, the NCCL-analog rendezvous the
+    reference pays inside torch.distributed.init_process_group,
+    torch_utils/distributed.py:24-41) happens lazily at the FIRST collective
+    of a clique, and its key-value rendezvous has a hard ~30 s deadline that
+    is NOT covered by the collective-call timeout flags. If process A
+    finishes compiling the big train step minutes before process B, A's
+    first collective starts the rendezvous and times out while B is still
+    compiling. Running one trivial collective per clique here — full mesh
+    plus each mesh axis — takes <2 s to compile, so the processes reach it
+    nearly simultaneously; every later executable reuses the established
+    contexts and tolerates arbitrary compile skew (verified with a forced
+    60 s skew). No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    names = tuple(mesh.axis_names)
+    axis_sets = [names] + ([(n,) for n in names] if len(names) > 1 else [])
+    for axes in axis_sets:
+        f = jax.shard_map(
+            lambda v, _axes=axes: jax.lax.psum(v, _axes),
+            mesh=mesh, in_specs=P(), out_specs=P(),
+        )
+        jax.jit(f)(jnp.zeros((8,), jnp.float32)).block_until_ready()
+    # Also establish the DIFFERENT clique pattern process_allgather uses
+    # (per-local-device pairs across processes — e.g. {dev0, dev2048} on a
+    # 2-process CPU backend, NOT the full-mesh clique above). The stats
+    # drain (core/stats.py), check_replica_consistency, and orbax's save
+    # barrier all go through this helper, and its context-init thunk has
+    # no data dependencies, so it starts its 30 s rendezvous the moment
+    # the executable launches — even while earlier queued steps are still
+    # waiting on a peer's multi-minute compile.
+    from jax.experimental import multihost_utils
+
+    np.asarray(multihost_utils.process_allgather(np.zeros((1,), np.float32)))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

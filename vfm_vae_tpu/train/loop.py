@@ -93,6 +93,16 @@ def training_loop(
     rank = jax.process_index()
     num_processes = jax.process_count()
     mesh = mesh or local_mesh()
+    # Establish cross-process communicators NOW, in lockstep — the lazy
+    # rendezvous at the first collective has a hard ~30 s deadline that
+    # compile skew between processes otherwise blows (parallel/mesh.py
+    # warm_up_collectives docstring; reference pays this inside
+    # init_process_group, torch_utils/distributed.py:24-41).
+    if num_processes > 1:
+        from ..parallel import warm_up_collectives
+
+        warm_up_collectives(mesh)
+        print0(f"[multihost] collective warm-up done ({num_processes} processes)")
     # EQ bucket sampling must be IDENTICAL on every process: the (scale,
     # angle, prior) tuple feeds the jitted SPMD step over the GLOBAL mesh,
     # so divergent draws would have hosts executing different programs
@@ -516,7 +526,14 @@ def training_loop(
                     snap_state = jax.jit(
                         lambda s: s, out_shardings=replicated(mesh)
                     )(state)
-                if rank == 0:
+                # Orbax save is itself a COLLECTIVE under jax.distributed
+                # (sync_global_processes inside AsyncCheckpointer.save): a
+                # rank-0-only call leaves rank 0 blocked in an allgather its
+                # peers never join (measured: 30 min gloo send timeout).
+                # Every process calls; orbax's primary host does the writes
+                # — the reference's rank-0 torch.save gate maps to orbax's
+                # internal primary_host, not to a caller-side `if rank==0`.
+                if rank == 0 or num_processes > 1:
                     sd = flax.serialization.to_state_dict(snap_state)
                     snap_path = save_snapshot(run_dir, cur_nimg // 1000, sd)
                     print0(f"Saved snapshot {snap_path}")
