@@ -9,10 +9,12 @@ VFM/DINO towers. Weights are random — this measures compute, not quality.
 
   python tools/bench_train.py [--batch 8] [--iters 3]
 
-Measured (v5e, fused D+G step, remat on): B4 331 ms (12.08 img/s/chip),
-B8 519 ms (15.41 — the per-chip sweet spot), B10 733 ms (13.63, HBM
-pressure spills), B12/B16 OOM. --no-remat at B4 is SLOWER (344 ms) and
-uses more HBM — per-layer remat wins on both axes, so it stays default.
+Measured (v5e, fused D+G step): the complete batch x remat-policy matrix
+lives in README "Training-step perf pass" — headline: B8-dots 447 ms
+(17.89 img/s/chip, the latency/memory sweet spot), B16-full 883 ms
+(18.12, peak throughput), B16-dots/names and B24+ OOM; see
+tools/bench_train_memory.py for the HBM accounting. Round-2 history
+(donation off): B4 331 ms, B8 519 ms, B10 733 ms, B12/B16 OOM.
 Also tried and rejected: jax.checkpoint around the LPIPS towers — B12
 still OOMs, B10 745 ms and B8 532 ms (both slightly worse than without),
 so the VGG activations are not the high-water tensor and the flag was

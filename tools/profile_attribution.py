@@ -144,6 +144,10 @@ def main():
                     choices=["full", "dots", "names"],
                     help="decoder checkpoint policy for --train "
                          "(models/synthesis.remat_layer)")
+    ap.add_argument("--fused", action="store_true",
+                    help="with --train: attribute the fused simultaneous "
+                         "D+G step (the sweep configuration) instead of "
+                         "sequential d_step+g_step")
     ap.add_argument("--int8-encode", action="store_true",
                     help="attribute the static-scale W8A8 ENCODE path "
                          "(VFM_VAE_INT8_VFM tower) instead of the full "
@@ -164,13 +168,20 @@ def main():
         if args.batch > 16:
             args.batch = 4  # serving default doesn't fit the backward
         trainer, state, real, rng = build_rig(args.batch, remat=args.remat_policy)
-        d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
-        g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+        if args.fused:
+            fused = jax.jit(trainer.fused_step, static_argnames=("eq", "blur_sigma"))
 
-        def call():
-            s1, _, dl = d_step(state, real, None, rng, (1.0, 0, False))
-            _, _, gl = g_step(s1, real, None, rng, (1.0, 0, False))
-            return float(dl) + float(gl)
+            def call():
+                _, _, tl = fused(state, real, None, rng, (1.0, 0, False))
+                return float(tl)
+        else:
+            d_step = jax.jit(trainer.d_step, static_argnames=("eq", "blur_sigma"))
+            g_step = jax.jit(trainer.g_step, static_argnames=("eq", "blur_sigma"))
+
+            def call():
+                s1, _, dl = d_step(state, real, None, rng, (1.0, 0, False))
+                _, _, gl = g_step(s1, real, None, rng, (1.0, 0, False))
+                return float(dl) + float(gl)
     elif args.int8_encode:
         os.environ["VFM_VAE_INT8_VFM"] = "1"
         from __graft_entry__ import flagship_generator

@@ -136,11 +136,17 @@ def training_loop(
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     g_cls = get_class_by_name(G_kwargs.get("class_name", "networks.generator.Generator"))
     gk = {k: v for k, v in G_kwargs.items() if k != "class_name"}
-    # Training default: selective rematerialization with the dots policy —
-    # measured fastest at the flagship B8 fused step (447.1 ms vs 466 full /
-    # 450 off, tools/bench_train.py) and lower HBM high-water than no-remat.
-    # YAML G_kwargs `remat:` overrides (false / full / dots / names).
-    gk.setdefault("remat", "dots")
+    # Training default: selective rematerialization, chosen by measured
+    # HBM fit (flagship B-sweep, tools/bench_train.py on v5e): `dots` is
+    # fastest at per-chip batch <= 12 (447 ms at B8 vs 471 blanket-full)
+    # but the matmul outputs it saves blow 16 GB HBM at B16, where
+    # blanket `full` still fits and is the peak-throughput cell (883 ms,
+    # 18.12 img/s). YAML G_kwargs `remat:` overrides (false / full /
+    # dots / names).
+    from ..parallel.mesh import DATA_AXIS
+
+    per_chip_batch = batch_size // max(1, accumulate_gradients) // mesh.shape[DATA_AXIS]
+    gk.setdefault("remat", "dots" if per_chip_batch <= 12 else "full")
     G = g_cls(compute_dtype=dtype, **gk)
     d_cls = get_class_by_name(
         D_kwargs.get("class_name", "networks.discriminator.ProjectedDiscriminator")
