@@ -174,3 +174,78 @@ def test_process_loader_close_does_not_hang(tmp_path):
     t = threading.Thread(target=closer, daemon=True)
     t.start()
     assert done.wait(timeout=30), "loader close() hung (queue drain deadlock)"
+
+
+def test_worker_watchdog_kills_orphans_on_parent_sigkill(tmp_path):
+    """Loader worker processes must die when the parent dies HARD (SIGKILL/
+    SIGABRT) — paths where neither the daemon machinery nor atexit runs.
+    Without the parent-death watchdog (wds._parent_watchdog), orphaned
+    workers keep inherited stdout/stderr pipes open and any
+    subprocess.run(capture_output=True) driving train.py blocks forever
+    (observed with an aborted flagship run, round 4)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    urls = make_shards(tmp_path, n_shards=2, per_shard=8)
+    script = tmp_path / "loader_host.py"
+    script.write_text(
+        # NB the __main__ guard: mp spawn re-imports the main module in
+        # every worker child.
+        "import sys, time\n"
+        f"sys.path.insert(0, {repr(os.getcwd())})\n"
+        "from vfm_vae_tpu.data.wds import wds_dataloader\n"
+        "if __name__ == '__main__':\n"
+        f"    it = wds_dataloader({[str(u) for u in urls]!r}, batch_size=2,\n"
+        "        resolution=32, workers=2, label_type='cls2id',\n"
+        f"        cls_to_text_path={repr(str(write_c2t(tmp_path)))},\n"
+        "        base_seed=0, sample_shuffle_size=1, worker_type='process')\n"
+        "    next(it)\n"
+        "    print('READY', flush=True)\n"
+        "    time.sleep(300)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)], stdout=subprocess.PIPE, text=True,
+        cwd=os.getcwd(),
+    )
+    def children_of(pid):
+        # /proc scan instead of `ps`: forking ps can fail SILENTLY (empty
+        # os.popen output) on a loaded 1-core host — observed flake.
+        kids = []
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    stat = f.read()
+                ppid = int(stat.rsplit(")", 1)[1].split()[1])
+                with open(f"/proc/{entry}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+            except OSError:
+                continue
+            if ppid == pid and "spawn_main" in cmd:
+                kids.append(int(entry))
+        return kids
+
+    try:
+        assert proc.stdout.readline().strip() == "READY"
+        # Find the spawned worker PIDs (direct children running spawn_main).
+        deadline = time.time() + 10
+        kids = children_of(proc.pid)
+        while not kids and time.time() < deadline:
+            time.sleep(0.2)
+            kids = children_of(proc.pid)
+        assert kids, "no spawn worker children found"
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=10)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            alive = [k for k in kids if os.path.exists(f"/proc/{k}")]
+            if not alive:
+                break
+            time.sleep(0.5)
+        assert not alive, f"orphaned loader workers survived parent SIGKILL: {alive}"
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -96,11 +96,15 @@ def build_rig(batch: int, remat="full"):
 
 
 V5E_PEAK_TFLOPS = 197.0  # bf16 MXU peak, TPU v5e (serving dossier baseline)
+V5E_HBM_GBPS = 819.0  # HBM bandwidth peak, TPU v5e
 
 
 def _step_flops(jitted, state, real, *rest):
-    """FLOPs of one step via XLA cost analysis, probed at batch 2 and scaled
-    linearly to the bench batch (0.0 if unavailable).
+    """(FLOPs, bytes-accessed) of one step via XLA cost analysis, probed at
+    batch 2 and scaled linearly to the bench batch (0.0 if unavailable).
+    Bytes-accessed is XLA's optimal-traffic estimate (each buffer counted
+    once per producer/consumer), i.e. a LOWER bound on real HBM traffic —
+    good for a roofline floor, not an exact occupancy.
 
     Why the dance: on this backend Lowered.cost_analysis() returns None —
     only Compiled.cost_analysis() has numbers — but compiling the probe
@@ -116,9 +120,11 @@ def _step_flops(jitted, state, real, *rest):
         ca = jitted.lower(state, real[:probe_b], *rest).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) * (B / probe_b)
+        scale = B / probe_b
+        return (float(ca.get("flops", 0.0)) * scale,
+                float(ca.get("bytes accessed", 0.0)) * scale)
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def main():
@@ -155,11 +161,13 @@ def main():
     def run(step_fns, label):
         nonlocal state
         # Warm-up / compile (also reports per-step FLOPs -> MFU).
-        flops = 0.0
+        flops = nbytes = 0.0
         for name, fn in step_fns:
             t0 = time.perf_counter()
             if not args.no_mfu:
-                flops += _step_flops(fn, state, real, None, rng, (1.0, 0, False))
+                f, by = _step_flops(fn, state, real, None, rng, (1.0, 0, False))
+                flops += f
+                nbytes += by
             state_new, _, total = fn(state, real, None, rng, (1.0, 0, False))
             print(f"{name} compile+run {time.perf_counter() - t0:.1f}s "
                   f"loss={float(total):.4f}", flush=True)
@@ -179,9 +187,12 @@ def main():
             _ = float(inflight.pop(0))
         dt = (time.perf_counter() - t0) / args.iters
         mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12)
+        hbm = nbytes / dt / (V5E_HBM_GBPS * 1e9)
         print(f"train step ({label}) B{B}: {dt * 1000:.1f} ms -> "
               f"{B / dt:.2f} img/s/chip | step {flops / 1e12:.2f} TFLOP "
               f"({flops / 1e12 / B:.2f}/img) -> MFU {mfu * 100:.1f}% "
+              f"| {nbytes / 1e9:.1f} GB accessed -> >={hbm * 100:.1f}% of "
+              f"HBM roofline "
               f"(donate={'off' if args.no_donate else 'on'}, "
               f"remat={'off' if args.no_remat else args.remat_policy}, "
               f"pipeline={args.pipeline}, finite={np.isfinite(float(total))})")

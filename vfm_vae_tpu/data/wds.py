@@ -210,11 +210,36 @@ def _decode_sample(
 # ------------------------------------------------------------------ loader
 
 
+# Write ends of worker watchdog pipes (one per loader). Held for the life
+# of the parent process ON PURPOSE: a GC'd write end would EOF the pipe and
+# falsely kill the workers. Closed implicitly at parent death — which is
+# the signal.
+_LOADER_WATCHDOG_KEEPALIVE: list = []
+
+
+def _parent_watchdog(conn):
+    """Blocks until the parent process dies (the write end of `conn`'s pipe
+    EOFs — covering SIGKILL/SIGABRT paths where neither the daemon-process
+    machinery nor atexit runs), then hard-exits the worker. Without this,
+    orphaned workers keep the parent's inherited stdout/stderr pipes open
+    and any `subprocess.run(capture_output=True)` driving the trainer
+    blocks on EOF forever (observed with an aborted flagship run)."""
+    try:
+        conn.recv()
+    except Exception:
+        pass
+    os._exit(0)
+
+
 def _process_worker_main(shards, out_q, decode_kwargs, tracker_dir, tracker_rank,
-                         seed, resample):
+                         seed, resample, parent_conn=None):
     """Worker-process body (the reference uses DataLoader worker PROCESSES,
     data_wds.py:345-350 — threads serialize on the GIL for decode+augment:
     measured flat ~190 img/s regardless of thread count)."""
+    if parent_conn is not None:
+        threading.Thread(
+            target=_parent_watchdog, args=(parent_conn,), daemon=True
+        ).start()
     tracker = ShardTracker(tracker_dir, rank=tracker_rank) if tracker_dir else None
     rng = random.Random(seed)
     try:
@@ -355,14 +380,19 @@ def wds_dataloader(
         ctx = mp.get_context("spawn")
         out_q = ctx.Queue(maxsize=queue_size)
         stop = threading.Event()  # only used by the consumer teardown
+        # Parent-death watchdog channel: the parent holds the write end and
+        # never sends; when the parent dies BY ANY MEANS the OS closes it
+        # and every worker's recv() EOFs -> os._exit (see _parent_watchdog).
+        watch_r, watch_w = ctx.Pipe(duplex=False)
         procs = []
+        _LOADER_WATCHDOG_KEEPALIVE.append(watch_w)
         for w in range(n_workers):
             p = ctx.Process(
                 target=_process_worker_main,
                 args=(
                     node_shards[w::n_workers], out_q, decode_kwargs,
                     processed_tar_write_dir if one_epoch else None, rank,
-                    base_seed + rank * 1000 + w, not one_epoch,
+                    base_seed + rank * 1000 + w, not one_epoch, watch_r,
                 ),
                 daemon=True,
             )

@@ -44,8 +44,28 @@ def _checkpointer():
 
 
 def save_snapshot(run_dir: str, kimg: int, state_dict: dict) -> str:
-    """state_dict: a pytree of arrays (TrainState fields as plain dict)."""
+    """state_dict: a pytree of arrays (TrainState fields as plain dict).
+
+    Snapshot names carry integer kimg (the reference's auto-resume
+    contract, train.py:23-42), so a snapshot cadence finer than 1 kimg
+    maps several ticks onto the SAME name. The reference silently
+    overwrites its .pth; here a second multi-GB orbax save to an
+    already-committed path is pure waste (measured ~5 min/save at
+    flagship size through the tunnel, and a re-save to the same path has
+    been observed to wedge the writer) — skip it: the bits for this kimg
+    are already on disk. Stale `.orbax-checkpoint-tmp` dirs from a
+    crashed earlier save are removed first so the commit rename cannot
+    collide (they never match SNAPSHOT_RE, so auto-resume ignores them
+    either way).
+    """
     path = os.path.abspath(os.path.join(run_dir, snapshot_name(kimg)))
+    if os.path.isdir(path):
+        return path
+    tmp = path + ".orbax-checkpoint-tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     ckpt = _checkpointer()
     ckpt.save(path, state_dict, force=True)
     ckpt.wait_until_finished()
