@@ -65,7 +65,13 @@ def flagship_config(root: str, data: str, c2t: str, batch: int, steps: int,
         1, snap_every_steps // 10)
     cfg["ema_kimg"] = 0.5
     cfg["fused_phases"] = True
-    cfg["data_workers"] = 4
+    # One worker per core: the loader sweep (tools/bench_data.py, README
+    # data-plane table) shows worker oversubscription COLLAPSES host
+    # throughput on small hosts (135 img/s at 1 worker vs 37-46 at 4-8 on
+    # a 1-core box), and the first run of this tool measured the step
+    # loader-capped at 750 ms vs the 447 ms chip capability with 4
+    # workers on 1 core.
+    cfg["data_workers"] = max(1, (os.cpu_count() or 1) - 1)
     cfg["metrics"] = []
     cfg["wandb_project_name"] = cfg["wandb_run_name"] = None
 
