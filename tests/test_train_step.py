@@ -387,3 +387,39 @@ def test_adam_mask_freezes_exactly():
     new = optax.apply_updates(params, up)
     np.testing.assert_array_equal(np.asarray(new["frozen"]), np.ones(3))
     assert np.all(np.asarray(new["train"]) != 1.0)
+
+
+def test_uint8_batch_matches_fp32(rig, mesh8):
+    """The loop transfers RAW uint8 batches (4x fewer host->device bytes)
+    and the step normalizes on device (train_step._as_unit_float): a uint8
+    batch must produce the same updates as the same batch pre-divided to
+    fp32 [0,1] on host, up to cross-program fusion noise (the in-graph
+    convert changes XLA's fusion choices; measured total delta ~4e-7
+    relative — bit-identity across two different programs is not a
+    guarantee XLA makes)."""
+    from vfm_vae_tpu.parallel import shard_batch
+    import flax.traverse_util as tu
+
+    trainer, state, mask = rig
+    rng = jax.random.PRNGKey(21)
+    raw = np.random.default_rng(5).integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+
+    with jax.sharding.set_mesh(mesh8):
+        fused = jax.jit(trainer.fused_step, static_argnames=("eq", "blur_sigma"))
+        s_u8, _, t_u8 = fused(state, shard_batch(mesh8, jnp.asarray(raw)),
+                              None, rng, (1.0, 0, False))
+        s_f32, _, t_f32 = fused(
+            state, shard_batch(mesh8, jnp.asarray(raw, jnp.float32) / 255.0),
+            None, rng, (1.0, 0, False))
+
+    np.testing.assert_allclose(float(t_u8), float(t_f32), rtol=1e-5)
+    a = tu.flatten_dict(s_u8.g_params, sep="/")
+    b = tu.flatten_dict(s_f32.g_params, sep="/")
+    for k in a:
+        # Adam normalizes by rms(grad): for near-zero grads a ~1e-7 loss
+        # fusion delta becomes a ~1e-6 parameter delta (measured max
+        # 1.4e-6 on 1/12288 elements). A real normalization bug (e.g. a
+        # double /255) would miss by orders of magnitude.
+        np.testing.assert_allclose(
+            np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+            rtol=1e-3, atol=1e-5, err_msg=k)

@@ -51,6 +51,19 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def _as_unit_float(real_img):
+    """Accept raw uint8 [0,255] batches: the training loop transfers the
+    loader's uint8 bytes and normalizes HERE, on device — 4x fewer
+    host->device bytes than shipping fp32 (measured on the remote-tunnel
+    dev host: the fp32 batch transfer alone serialized ~300 ms/step at B8;
+    the reference converts on host before .to(device),
+    training_loop.py:310-323). float inputs (tests, tools) are assumed
+    already in [0,1] and pass through."""
+    if real_img is not None and real_img.dtype == jnp.uint8:
+        return real_img.astype(jnp.float32) / 255.0
+    return real_img
+
+
 def _microbatches(x, n):
     """Split the leading (batch) dim into n chunks; pytree-aware (text
     conditioning carries a dict of token arrays)."""
@@ -150,6 +163,7 @@ class Trainer:
     # -------------------------------------------------------------- D step
 
     def d_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
+        real_img = _as_unit_float(real_img)
         n_acc = self.num_accumulation
         imgs = _microbatches(real_img, n_acc)
         cs = _microbatches(real_c, n_acc)
@@ -242,6 +256,7 @@ class Trainer:
                 aux["gen_img"], aux.get("c_d"))
 
     def g_step(self, state: TrainState, real_img, real_c, rng, eq, blur_sigma: float = 0.0):
+        real_img = _as_unit_float(real_img)
         n_acc = self.num_accumulation
         imgs = _microbatches(real_img, n_acc)
         cs = _microbatches(real_c, n_acc)
@@ -303,6 +318,7 @@ class Trainer:
         iterations advance once (D branch) instead of twice. Opt-in via
         `fused_phases: true`.
         """
+        real_img = _as_unit_float(real_img)
         n_acc = self.num_accumulation
         imgs = _microbatches(real_img, n_acc)
         cs = _microbatches(real_c, n_acc)
