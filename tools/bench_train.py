@@ -102,9 +102,11 @@ V5E_HBM_GBPS = 819.0  # HBM bandwidth peak, TPU v5e
 def _step_flops(jitted, state, real, *rest):
     """(FLOPs, bytes-accessed) of one step via XLA cost analysis, probed at
     batch 2 and scaled linearly to the bench batch (0.0 if unavailable).
-    Bytes-accessed is XLA's optimal-traffic estimate (each buffer counted
-    once per producer/consumer), i.e. a LOWER bound on real HBM traffic —
-    good for a roofline floor, not an exact occupancy.
+    Bytes-accessed is an HLO-level traffic proxy: each buffer is counted
+    per producer/consumer INCLUDING reuse that fusion keeps in VMEM, so it
+    over-counts true DRAM bytes (measured 123% of the HBM peak at the
+    known-bandwidth-bound flagship B8 step) — read it as "the program sits
+    at N% of the bandwidth roofline", saturating near/above 100.
 
     Why the dance: on this backend Lowered.cost_analysis() returns None —
     only Compiled.cost_analysis() has numbers — but compiling the probe
@@ -191,8 +193,8 @@ def main():
         print(f"train step ({label}) B{B}: {dt * 1000:.1f} ms -> "
               f"{B / dt:.2f} img/s/chip | step {flops / 1e12:.2f} TFLOP "
               f"({flops / 1e12 / B:.2f}/img) -> MFU {mfu * 100:.1f}% "
-              f"| {nbytes / 1e9:.1f} GB accessed -> >={hbm * 100:.1f}% of "
-              f"HBM roofline "
+              f"| {nbytes / 1e9:.1f} GB accessed -> ~{hbm * 100:.1f}% of "
+              f"HBM roofline (HLO bytes proxy) "
               f"(donate={'off' if args.no_donate else 'on'}, "
               f"remat={'off' if args.no_remat else args.remat_policy}, "
               f"pipeline={args.pipeline}, finite={np.isfinite(float(total))})")
