@@ -353,8 +353,19 @@ def test_place_state_breaks_donation_aliases(rig):
     point and must break the alias."""
     from vfm_vae_tpu.parallel import make_mesh, place_state
 
-    _, state, _ = rig
+    _, module_state, _ = rig
     leaf = lambda s: jax.tree_util.tree_leaves(s.g_params)[0]
+    assert leaf(module_state) is jax.tree_util.tree_leaves(module_state.ema_params)[0]
+
+    # Donate a PRIVATE copy: place_state is a no-op device_put when the
+    # sharding already matches (parallel/mesh.py), so on the CPU backend the
+    # "placed" leaves ARE the input's buffers. Donating the module-scoped rig
+    # fixture would delete its arrays for every later test in this module.
+    state = jax.tree_util.tree_map(jnp.array, module_state)
+    # jnp.array copies but collapses the g/ema alias per-leaf only — rebuild
+    # the intra-state alias the real init produces, so the test still
+    # exercises alias-breaking.
+    state = state.replace(ema_params=state.g_params)
     assert leaf(state) is jax.tree_util.tree_leaves(state.ema_params)[0]
 
     mesh = make_mesh(jax.devices()[:1])  # 1 device: no collectives, so
