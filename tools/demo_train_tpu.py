@@ -310,9 +310,14 @@ def main():
     # tool warns; reference recipe: /root/reference/README.md:341-357.)
     quality = None
     if not args.no_quality:
-        from glob import glob as _glob
+        from vfm_vae_tpu.train.checkpoint import SNAPSHOT_RE
 
-        snaps = sorted(_glob(os.path.join(run_dir, "network-snapshot-*")))
+        # SNAPSHOT_RE, not a raw glob: stale `.orbax-checkpoint-tmp` dirs
+        # sort after their real snapshot and would be picked as snaps[-1].
+        snaps = sorted(
+            os.path.join(run_dir, n)
+            for n in os.listdir(run_dir) if SNAPSHOT_RE.match(n)
+        )
         assert len(snaps) >= 2, f"need early+late snapshots, got {snaps}"
         val_dir = make_val_folder(root, n=args.val_images, size=72)
         early = quality_eval(config, snaps[0], val_dir,

@@ -129,9 +129,15 @@ def main():
     l1_first = float(np.mean([r[1] for r in rows[:k]]))
     l1_last = float(np.mean([r[1] for r in rows[-k:]]))
 
-    from glob import glob
+    from vfm_vae_tpu.train.checkpoint import SNAPSHOT_RE
 
-    snaps = sorted(glob(os.path.join(run_dir, "network-snapshot-*")))
+    # SNAPSHOT_RE, not a raw glob: a stale `.orbax-checkpoint-tmp` dir
+    # surviving a crash sorts AFTER its real snapshot and would become
+    # snaps[-1] (partial dir -> crash or garbage eval).
+    snaps = sorted(
+        os.path.join(run_dir, n)
+        for n in os.listdir(run_dir) if SNAPSHOT_RE.match(n)
+    )
     assert len(snaps) >= 2, f"need early+late snapshots, got {snaps}"
     val_dir = demo.make_val_folder(root, n=args.val_images, size=288)
     early = pixel_eval(config, snaps[0], val_dir,

@@ -398,6 +398,10 @@ def wds_dataloader(
             )
             p.start()
             procs.append(p)
+        # Children hold their own dup of the read end after start(); the
+        # parent's copy only keeps the fd table fat. Close it now — the
+        # watchdog EOF fires when the last WRITE end (watch_w) dies.
+        watch_r.close()
     else:
         out_q = queue.Queue(maxsize=queue_size)
         stop = threading.Event()
@@ -458,6 +462,15 @@ def wds_dataloader(
                     p.join(timeout=5)
                 out_q.cancel_join_thread()
                 out_q.close()
+                # Workers are gone: parent-death coverage is no longer
+                # needed, and keeping watch_w in the module keepalive would
+                # leak one fd per loader for process lifetime (long suites
+                # creep toward the fd limit). Close + drop it.
+                try:
+                    _LOADER_WATCHDOG_KEEPALIVE.remove(watch_w)
+                except ValueError:
+                    pass
+                watch_w.close()
             else:
                 # Thread workers block in put() on the bounded queue; drain
                 # so they observe stop_event. queue.Queue.get_nowait never

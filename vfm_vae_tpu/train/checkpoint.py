@@ -59,13 +59,32 @@ def save_snapshot(run_dir: str, kimg: int, state_dict: dict) -> str:
     either way).
     """
     path = os.path.abspath(os.path.join(run_dir, snapshot_name(kimg)))
-    if os.path.isdir(path):
+    # Multi-process: the skip / stale-tmp decision must be SINGLE and
+    # shared. Each rank evaluating os.path.isdir against shared storage can
+    # disagree under a stale NFS view — one rank skips while the rest enter
+    # the collective orbax save (hang), or several ranks rmtree the same
+    # tmp dir concurrently. Rank 0 decides; the bit is broadcast so every
+    # rank takes the same branch, and only rank 0 cleans the stale tmp.
+    skip = os.path.isdir(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        skip = bool(
+            multihost_utils.broadcast_one_to_all(np.asarray(skip, np.uint8))
+        )
+    if skip:
         return path
     tmp = path + ".orbax-checkpoint-tmp"
-    if os.path.isdir(tmp):
+    if jax.process_index() == 0 and os.path.isdir(tmp):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # Nobody enters the collective orbax save until rank 0's cleanup
+        # is visible on shared storage.
+        multihost_utils.sync_global_devices("vfm_vae:pre-snapshot-save")
     ckpt = _checkpointer()
     ckpt.save(path, state_dict, force=True)
     ckpt.wait_until_finished()

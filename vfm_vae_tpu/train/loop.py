@@ -624,16 +624,25 @@ def training_loop(
                     jax.tree_util.tree_map(lambda x: x[:8], real_c)
                     if real_c is not None else None
                 )
+                # `real` is the raw uint8 device batch (the loop ships uint8
+                # and the train step normalizes in-graph); this eager G.apply
+                # path must normalize itself or the VFM preprocess sees
+                # inputs ~255x out of range — and `* 2 - 1` would wrap under
+                # uint8 arithmetic in the grid. Same contract as
+                # train_step._as_unit_float: float inputs are already [0,1].
+                r8 = np.asarray(real[:8], np.float32)
+                if real.dtype == jnp.uint8:
+                    r8 = r8 / 255.0
                 out = G.apply(
                     {"params": ema_g, "buffers": state.g_bufs},
-                    real[:8],
+                    jnp.asarray(r8),
                     c8,
                     rng=jax.random.PRNGKey(0),
                     validation=True,
                     train=False,
                 )
                 grid = np.concatenate(
-                    [np.asarray(real[:8]) * 2 - 1, np.asarray(out.gen_img)], axis=0
+                    [r8 * 2 - 1, np.asarray(out.gen_img)], axis=0
                 )
                 save_image_grid(
                     grid,
