@@ -223,10 +223,10 @@ def gen_env(tmp_path_factory):
             "data": str(data), "G": G, "res": res}
 
 
-def run_tool(*argv, check=True):
+def run_tool(*argv, check=True, env=None):
     r = subprocess.run(
         [sys.executable, *argv], capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, "VFM_VAE_PLATFORM": "cpu"},
+        env={**os.environ, "VFM_VAE_PLATFORM": "cpu", **(env or {})},
     )
     if check:
         assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])
@@ -322,6 +322,96 @@ def test_reconstruct_evaluate_extract_cli(gen_env, tmp_path):
         "--batch", "3",
     )
     assert "psnr" in r.stdout.lower()
+
+
+def test_tools_sharded_match_single_device(gen_env, tmp_path):
+    """The tool layer's mesh-sharded path (parallel/serving.py — the
+    reference's torchrun multi-GPU tools, reconstruct.py:116-122,
+    decode_latents_to_images.py:49, prefetch.py:148-175) must produce the
+    same bytes as the single-device path. Each tool runs twice — capped to
+    1 device via VFM_VAE_SERVING_DEVICES, then over all 8 virtual devices
+    — and the outputs are compared."""
+    import PIL.Image
+    from safetensors.numpy import load_file
+
+    G, res = gen_env["G"], gen_env["res"]
+    one = {"VFM_VAE_SERVING_DEVICES": "1"}
+
+    # --- reconstruct ---
+    val = tmp_path / "val"
+    run_tool(os.path.join(REPO, "tools", "reconstruct", "extract.py"),
+             "--tars", gen_env["data"], "--out", str(val))
+    recs = {}
+    for tag, env in (("d1", one), ("d8", None)):
+        rec = tmp_path / f"rec_{tag}"
+        run_tool(
+            os.path.join(REPO, "tools", "reconstruct", "reconstruct.py"),
+            "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+            "--data", str(val), "--out", str(rec), "--batch", "4",
+            "--max-images", "6", env=env,
+        )
+        recs[tag] = rec
+    names1 = sorted(p.name for p in (recs["d1"] / "outputs").glob("*.png"))
+    names8 = sorted(p.name for p in (recs["d8"] / "outputs").glob("*.png"))
+    assert names1 == names8 and len(names1) == 6
+    for n in names1:
+        a = np.asarray(PIL.Image.open(recs["d1"] / "outputs" / n), np.int16)
+        b = np.asarray(PIL.Image.open(recs["d8"] / "outputs" / n), np.int16)
+        # uint8 quantization of near-identical floats: allow one LSB for
+        # values sitting on a rounding boundary across fusion variants.
+        assert np.abs(a - b).max() <= 1, f"{n}: max diff {np.abs(a - b).max()}"
+
+    # --- prefetch (encode hot path) ---
+    lats = {}
+    for tag, env in (("d1", one), ("d8", None)):
+        out = tmp_path / f"lat_{tag}"
+        run_tool(
+            os.path.join(REPO, "tools", "preprocess_for_lightningdit", "prefetch.py"),
+            "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+            "--data", gen_env["data"], "--out", str(out),
+            "--batch", "4", "--shard-size", "8", "--resolution", str(res),
+            env=env,
+        )
+        lats[tag] = load_file(str(out / "latents_rank00_shard000.safetensors"))
+    np.testing.assert_array_equal(lats["d1"]["labels"], lats["d8"]["labels"])
+    np.testing.assert_allclose(
+        lats["d1"]["latents"], lats["d8"]["latents"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        lats["d1"]["latents_flip"], lats["d8"]["latents_flip"],
+        rtol=1e-4, atol=1e-5)
+
+    # --- decode (latent shards -> PNGs; ragged tail batch of 3) ---
+    make_latent_shards(str(tmp_path), n=6, c=G.z_dimension, hw=G.z_resolution)
+    pngs = {}
+    for tag, env in (("d1", one), ("d8", None)):
+        out = tmp_path / f"png_{tag}"
+        run_tool(
+            os.path.join(REPO, "tools", "decode", "decode_latents_to_images.py"),
+            "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+            "--latents", str(tmp_path), "--out", str(out), "--batch", "4",
+            env=env,
+        )
+        pngs[tag] = sorted(out.glob("*.png"))
+    assert [p.name for p in pngs["d1"]] == [p.name for p in pngs["d8"]]
+    for p1, p8 in zip(pngs["d1"], pngs["d8"]):
+        a = np.asarray(PIL.Image.open(p1), np.int16)
+        b = np.asarray(PIL.Image.open(p8), np.int16)
+        assert np.abs(a - b).max() <= 1
+
+    # --- alignment feature extraction (vae mode over the recon inputs) ---
+    feats = {}
+    for tag, env in (("d1", one), ("d8", None)):
+        out = tmp_path / f"feats_{tag}.npz"
+        run_tool(
+            os.path.join(REPO, "tools", "evaluate_alignment", "extract_features.py"),
+            "vae", "--config", gen_env["cfg"], "--snapshot", gen_env["snap"],
+            "--images", str(val), "--out", str(out),
+            "--resolution", str(res), "--batch", "4", env=env,
+        )
+        feats[tag] = np.load(str(out))
+    np.testing.assert_array_equal(feats["d1"]["names"], feats["d8"]["names"])
+    np.testing.assert_allclose(
+        feats["d1"]["features"], feats["d8"]["features"], rtol=1e-4, atol=1e-5)
 
 
 def test_reconstruct_cli_int8(gen_env, tmp_path):

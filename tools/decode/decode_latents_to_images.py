@@ -39,9 +39,17 @@ def main():
 
     G, variables, _ = build_generator(args.config, args.snapshot)
 
-    @jax.jit
     def decode(v, z):
         return G.apply(v, z, method=G.decode)
+
+    # Files shard by rank across hosts (reference decode_latents_to_images
+    # .py:49); each batch then shards over THIS host's chips via the local
+    # data-axis mesh — one process drives all local devices.
+    from vfm_vae_tpu.parallel import ShardedFn, replicate, serving_mesh
+
+    mesh = serving_mesh()
+    variables = replicate(mesh, variables)
+    decode_sharded = ShardedFn(decode, args.batch, mesh=mesh, batch_argnums=(1,))
 
     os.makedirs(args.out, exist_ok=True)
     files = sorted(glob(os.path.join(args.latents, "*.safetensors")))
@@ -53,8 +61,8 @@ def main():
         latents = data[args.key]  # NCHW storage
         z = np.transpose(latents, (0, 2, 3, 1))
         for i in range(0, z.shape[0], args.batch):
-            out = decode(variables, jnp.asarray(z[i : i + args.batch], jnp.float32))
-            out_np = np.asarray((jnp.clip(out, -1, 1) + 1) * 127.5).astype(np.uint8)
+            out = decode_sharded(variables, z[i : i + args.batch].astype(np.float32))
+            out_np = ((np.clip(out, -1, 1) + 1) * 127.5).astype(np.uint8)
             for j in range(out_np.shape[0]):
                 PIL.Image.fromarray(out_np[j]).save(
                     os.path.join(args.out, f"{rank:02d}_{idx:08d}.png")

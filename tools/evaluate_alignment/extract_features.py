@@ -133,7 +133,6 @@ def extract_dit_features(args):
         alpha_t = float(np.cos(args.timestep * np.pi / 2))
         sigma_t = float(np.sin(args.timestep * np.pi / 2))
 
-    @jax.jit
     def step(z, y, rng):
         t = jnp.full((z.shape[0],), args.timestep, jnp.float32)
         if args.mode == "reg":
@@ -154,6 +153,13 @@ def extract_dit_features(args):
             feats["projector_0"] = jnp.mean(proj, axis=1)
         return feats
 
+    # Batches shard over this host's chips (local data-axis mesh) — the
+    # reference's per-GPU extractor processes collapse into one program.
+    from vfm_vae_tpu.parallel import ShardedFn, serving_mesh
+
+    step_sharded = ShardedFn(step, args.batch, mesh=serving_mesh(),
+                             batch_argnums=(0, 1))
+
     rng = jax.random.PRNGKey(args.seed)
     names_all, feats_all = [], {}
     done = 0
@@ -169,7 +175,7 @@ def extract_dit_features(args):
             z = (z - lat_mean) / lat_std * mult
             y = np.asarray(labels[i : i + args.batch], np.int32)
             rng, sub = jax.random.split(rng)
-            feats = step(jnp.asarray(z), jnp.asarray(y), sub)
+            feats = step_sharded(z, y, sub)
             for k, v in feats.items():
                 feats_all.setdefault(k, []).append(np.asarray(v, np.float32))
             names_all.extend(
@@ -230,9 +236,8 @@ def main():
             lambda r: enc.init({"params": r}, init_img, method=enc.encode_image)
         )(jax.random.PRNGKey(0))
 
-        @jax.jit
-        def extract(x):
-            feats, _ = enc.apply(variables, x, method=enc.encode_image)
+        def extract(v, x):
+            feats, _ = enc.apply(v, x, method=enc.encode_image)
             return jnp.mean(feats[0], axis=1)  # mean over tokens
 
     else:
@@ -243,14 +248,20 @@ def main():
 
         G, variables, _ = build_generator(args.config, args.snapshot)
 
-        @jax.jit
-        def extract(x):
-            z = G.apply(variables, x, rng=None, method=G.encode)
+        def extract(v, x):
+            z = G.apply(v, x, rng=None, method=G.encode)
             return jnp.mean(z, axis=(1, 2))  # mean over H, W
 
+    # Shard batches over this host's chips (local data-axis mesh).
+    from vfm_vae_tpu.parallel import ShardedFn, replicate, serving_mesh
+
+    mesh = serving_mesh()
+    variables = replicate(mesh, variables)
+    extract_sharded = ShardedFn(extract, args.batch, mesh=mesh, batch_argnums=(1,))
+
     for names, imgs in iter_batches(args.images, args.resolution, args.batch):
-        x = jnp.asarray(imgs, jnp.float32) / 255.0
-        feats_all.append(np.asarray(extract(x), np.float32))
+        x = imgs.astype(np.float32) / 255.0
+        feats_all.append(np.asarray(extract_sharded(variables, x), np.float32))
         names_all.extend(names)
         print(f"{len(names_all)} done", flush=True)
 

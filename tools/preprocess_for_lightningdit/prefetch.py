@@ -101,7 +101,6 @@ def main(return_moments: bool = False):
 
     G, variables, _ = build_generator(args.config, args.snapshot)
 
-    @jax.jit
     def encode(v, img, rng):
         r1, r2 = jax.random.split(rng)
         if return_moments:
@@ -114,7 +113,6 @@ def main(return_moments: bool = False):
         zf = G.apply(v, img[:, :, ::-1], rng=r2, method=G.encode)
         return z, zf
 
-    @jax.jit
     def vfm_tokens(v, img):
         """Last-layer VFM tokens adaptively pooled to the latent grid
         (REPA targets; token count matches the DiT sequence)."""
@@ -129,6 +127,17 @@ def main(return_moments: bool = False):
         if f.shape[1] != zres:
             f = adaptive_avg_pool2d(f, (zres, zres))
         return map_to_tokens(f)
+
+    # Tars split by rank across hosts (reference prefetch.py:148-175
+    # split_by_node); batches shard over this host's chips via the local
+    # data-axis mesh. Prefetch is the encoder-throughput hot path
+    # (SURVEY §3.5) — this is where the extra chips pay.
+    from vfm_vae_tpu.parallel import ShardedFn, replicate, serving_mesh
+
+    mesh = serving_mesh()
+    variables = replicate(mesh, variables)
+    encode_sharded = ShardedFn(encode, args.batch, mesh=mesh, batch_argnums=(1,))
+    tokens_sharded = ShardedFn(vfm_tokens, args.batch, mesh=mesh, batch_argnums=(1,))
 
     os.makedirs(args.out, exist_ok=True)
     tars = sorted(glob(os.path.join(args.data, "**", "*.tar"), recursive=True))
@@ -182,19 +191,21 @@ def main(return_moments: bool = False):
             imgs.append(crop)
             labels.append(label)
             if len(imgs) == args.batch:
-                x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
+                x = np.stack(imgs).astype(np.float32) / 255.0
                 if args.int8:
                     from vfm_vae_tpu.ops.quantized import enable_int8_tower
 
-                    variables = enable_int8_tower(G, variables, x)
+                    variables = replicate(
+                        mesh, enable_int8_tower(G, variables, jnp.asarray(x))
+                    )
                     args.int8 = False  # calibrate once, on real data
                 rng, sub = jax.random.split(rng)
-                z, zf = encode(variables, x, sub)
+                z, zf = encode_sharded(variables, x, sub)
                 lat_buf.append(np.asarray(z, np.float32))
                 flip_buf.append(np.asarray(zf, np.float32))
                 label_buf.extend(labels)
                 if args.store_vfm_features:
-                    feat_buf.append(np.asarray(vfm_tokens(variables, x)))
+                    feat_buf.append(np.asarray(tokens_sharded(variables, x)))
                 imgs, labels = [], []
                 if sum(a.shape[0] for a in lat_buf) >= args.shard_size:
                     flush()

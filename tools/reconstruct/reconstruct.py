@@ -87,7 +87,6 @@ def main():
         "buffers": snap.get("g_bufs", variables.get("buffers", {})),
     }
 
-    @jax.jit
     def recon(v, img, rng):
         z = G.apply(v, img, rng=rng, method=G.encode)
         return G.apply(v, z, method=G.decode)
@@ -98,6 +97,15 @@ def main():
     files = list(iter_image_files(args.data))
     if args.max_images:
         files = files[: args.max_images]
+    # Rank split of the file list across hosts (the reference's
+    # DistributedSampler, tools/reconstruct/reconstruct.py:64-66,116-122),
+    # then a local data-axis mesh shards each batch over THIS host's chips
+    # — the reference's torchrun-per-GPU collapses into one process.
+    from vfm_vae_tpu.parallel import ShardedFn, process_shard, replicate, serving_mesh
+
+    rank = jax.process_index()
+    files = process_shard(files)
+    mesh = serving_mesh()
 
     if args.int8:
         from vfm_vae_tpu.ops.quantized import enable_int8_tower
@@ -108,17 +116,24 @@ def main():
         variables = enable_int8_tower(
             G, variables, jnp.asarray(calib, jnp.float32) / 255.0
         )
-    print(f"Reconstructing {len(files)} images at {res}px ...")
-    rng = jax.random.PRNGKey(0)
+    variables = replicate(mesh, variables)
+    recon_sharded = ShardedFn(recon, args.batch, mesh=mesh, batch_argnums=(1,))
+
+    print(f"Reconstructing {len(files)} images at {res}px "
+          f"on {mesh.devices.size} device(s) ...")
+    rng = jax.random.PRNGKey(rank)
     for i in range(0, len(files), args.batch):
         chunk = files[i : i + args.batch]
         imgs = np.stack([load_and_crop(f, res) for f in chunk])
-        x = jnp.asarray(imgs, jnp.float32) / 255.0
+        x = imgs.astype(np.float32) / 255.0
         rng, sub = jax.random.split(rng)
-        out = recon(variables, x, sub if args.sample_posterior else sub)
-        out_np = np.asarray((jnp.clip(out, -1, 1) + 1) * 127.5).astype(np.uint8)
+        out = recon_sharded(variables, x, sub if args.sample_posterior else sub)
+        out_np = ((np.clip(out, -1, 1) + 1) * 127.5).astype(np.uint8)
         for j, f in enumerate(chunk):
-            name = f"{i + j:08d}.png"
+            # Single-host keeps the historical flat names; multi-host
+            # prefixes rank so shards of the split can't collide.
+            name = (f"{i + j:08d}.png" if jax.process_count() == 1
+                    else f"{rank:02d}_{i + j:08d}.png")
             PIL.Image.fromarray(imgs[j]).save(os.path.join(args.out, "inputs", name))
             PIL.Image.fromarray(out_np[j]).save(os.path.join(args.out, "outputs", name))
     print(f"Wrote pairs to {args.out}/inputs and {args.out}/outputs")
