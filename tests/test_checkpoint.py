@@ -54,3 +54,44 @@ def test_find_latest_ignores_tmp_dirs(tmp_path):
     (tmp_path / "network-snapshot-00000009.orbax-checkpoint-tmp").mkdir()
     path, kimg = find_latest_snapshot(str(tmp_path))
     assert kimg == 3 and path.endswith("network-snapshot-00000003")
+
+
+def test_merge_loaded_preserves_empty_subtrees():
+    """Stage-to-stage resume with a changed Adam mask: the template's empty
+    containers (optax EmptyState / MaskedNode serialize as {}) must survive
+    the loose merge — from_state_dict restores tuples by LENGTH, so a
+    dropped empty dict fails the whole restore (four-stage chain bug)."""
+    import numpy as np
+
+    from vfm_vae_tpu.train.checkpoint import merge_loaded
+
+    template = {
+        "g_opt": {
+            "0": {"inner": {"count": np.zeros(()), "mu": {"b3": np.zeros(3)}}},
+            "1": {},  # EmptyState — flatten_dict would drop this
+        },
+        "extra": {"only_template": np.ones(2)},
+    }
+    loaded = {
+        "g_opt": {"0": {"inner": {"count": np.ones(()) * 5,
+                                  "mu": {"b3": np.ones(3),
+                                         "b0": np.ones(4)}}}},
+    }
+    out = merge_loaded(template, loaded)
+    assert out["g_opt"]["1"] == {}  # empty subtree survived
+    np.testing.assert_array_equal(out["g_opt"]["0"]["inner"]["mu"]["b3"],
+                                  np.ones(3))  # matching leaf taken
+    assert "b0" not in out["g_opt"]["0"]["inner"]["mu"]  # unknown key dropped
+    np.testing.assert_array_equal(out["extra"]["only_template"], np.ones(2))
+    # count scalar restored
+    assert float(out["g_opt"]["0"]["inner"]["count"]) == 5.0
+
+
+def test_merge_loaded_shape_mismatch_keeps_template():
+    import numpy as np
+
+    from vfm_vae_tpu.train.checkpoint import merge_loaded
+
+    template = {"w": np.zeros((2, 2))}
+    out = merge_loaded(template, {"w": np.ones((3, 3))})
+    np.testing.assert_array_equal(out["w"], np.zeros((2, 2)))

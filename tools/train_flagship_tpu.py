@@ -146,6 +146,15 @@ def main():
                       os.path.join(root, "recon_late"), args.batch)
     trained_wins = late["psnr"] > early["psnr"] and late["ssim"] > early["ssim"]
 
+    # Which EQ step-variants fired (loop tallies buckets into stats.jsonl;
+    # each bucket is a distinct compiled program after angle folding).
+    eq_fired = {}
+    with open(os.path.join(run_dir, "stats.jsonl")) as f:
+        for line in f:
+            for k, v in json.loads(line).items():
+                if k.startswith("EQ/"):
+                    eq_fired[k[3:]] = eq_fired.get(k[3:], 0) + int(v)
+
     ok = l1_last < l1_first and trained_wins
     print(json.dumps({
         "metric": "flagship_stage0_trajectory",
@@ -158,6 +167,7 @@ def main():
         "late": {k_: round(v, 4) for k_, v in late.items()},
         "snapshots": [os.path.basename(snaps[0]), os.path.basename(snaps[-1])],
         "trained_wins": bool(trained_wins),
+        "eq_variants_fired": eq_fired,
         "ok": bool(ok),
     }))
     sys.exit(0 if ok else 1)

@@ -124,16 +124,25 @@ def report_key_diff(loaded: dict, template: dict, prefix: str = "") -> Tuple[lis
     return missing, unexpected
 
 
-def merge_loaded(template: dict, loaded: dict) -> dict:
-    """strict=False load: take loaded values where paths+shapes match."""
-    import flax.traverse_util as tu
+def merge_loaded(template: dict, loaded) -> dict:
+    """strict=False load: take loaded values where paths+shapes match.
 
-    t = tu.flatten_dict(template, sep="/")
-    l = tu.flatten_dict(loaded, sep="/")
-    out = {}
-    for k, v in t.items():
-        if k in l and np.shape(l[k]) == np.shape(v):
-            out[k] = l[k]
-        else:
-            out[k] = v
-    return tu.unflatten_dict(out, sep="/")
+    Recursive over the TEMPLATE (not flatten-based): flax's flatten_dict
+    drops empty subtrees, but a state dict's empty dicts are load-bearing —
+    optax serializes EmptyState/MaskedNode containers as {} and
+    from_state_dict restores tuples by LENGTH, so a flatten/unflatten round
+    trip fails with "size of the list and the state dict do not match".
+    Hits exactly the four-stage recipe's handoffs, where a changed
+    train_mode changes the Adam mask structure (reference strict=False
+    resume: training_loop.py:230-264)."""
+    if isinstance(template, dict):
+        if not isinstance(loaded, dict):
+            return template
+        return {
+            k: (merge_loaded(v, loaded[k]) if k in loaded else v)
+            for k, v in template.items()
+        }
+    if loaded is not None and not isinstance(loaded, dict) \
+            and np.shape(loaded) == np.shape(template):
+        return loaded
+    return template

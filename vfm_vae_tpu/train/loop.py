@@ -393,6 +393,12 @@ def training_loop(
     _sync_timing = os.environ.get("VFM_VAE_SYNC_TIMING") == "1"
     pipeline_depth = int(os.environ.get("VFM_VAE_PIPELINE_DEPTH", "4"))
     inflight: list = []
+    # Host-side EQ-bucket tally -> stats.jsonl per tick ("EQ/<scale>_<rot>_
+    # <prior>": count). Each bucket is a distinct compiled step variant
+    # (jit_train_step folds the rot90 angle), so the record shows which of
+    # the 7 variants actually fired in a run (reference EQ sampler:
+    # ldm_utils.py:491-517).
+    eq_counts: Dict[str, int] = {}
 
     with jax.sharding.set_mesh(mesh):
         while True:
@@ -426,8 +432,14 @@ def training_loop(
 
             host_rng, r1, r2 = jax.random.split(host_rng, 3)
             sync_res = _sync_timing or None
+            def _tally_eq(eq):
+                if eq_transform.apply:
+                    k = f"EQ/{eq[0]}_{eq[1]}_{int(eq[2])}"
+                    eq_counts[k] = eq_counts.get(k, 0) + 1
+
             if fused_phases:
                 eq_g = eq_transform(np_rng)
+                _tally_eq(eq_g)
                 with timer.phase("Timing/G") as ph:
                     state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
                     if sync_res:
@@ -435,11 +447,13 @@ def training_loop(
                 d_stats = {}
             else:
                 eq_d = eq_transform(np_rng)
+                _tally_eq(eq_d)
                 with timer.phase("Timing/D") as ph:
                     state, d_stats, d_total = d_step(state, real, real_c, r1, eq_d)
                     if sync_res:
                         ph(d_total)
                 eq_g = eq_transform(np_rng)
+                _tally_eq(eq_g)
                 with timer.phase("Timing/G") as ph:
                     state, g_stats, g_total = g_step(state, real, real_c, r2, eq_g)
                     if sync_res:
@@ -514,6 +528,9 @@ def training_loop(
                 }
                 entry.update(device_memory_stats())
                 entry.update(host_memory_stats())
+                if eq_counts:
+                    entry.update(eq_counts)
+                    eq_counts.clear()
                 timer.reset()
                 entry.update(
                     {name: collector.mean(name) for name in collector.names()}
