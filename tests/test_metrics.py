@@ -222,3 +222,42 @@ def test_cs10k_metric():
         gen_batches=iter(imgs), texts=iter(["a"] * 8),
     )
     np.testing.assert_allclose(r["results"]["cs"], 1.0)
+
+
+def test_ssim_torchmetrics_parity_and_tpu_precision_guard():
+    """SSIM matches torchmetrics (the reference's
+    StructuralSimilarityIndexMeasure, training/loss.py:152) AND its lowered
+    program pins the gaussian filters to HIGHEST precision. The precision
+    pin is load-bearing on TPU only (default conv precision rounds to bf16
+    and the windowed E[x^2]-E[x]^2 variance cancels catastrophically —
+    observed SSIM 3.03 on-chip for images whose true SSIM is 0.856), so a
+    CPU value test alone cannot guard it; the lowered-text assertion does.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.train.ssim import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape).astype(np.float32), 0, 1)
+
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
+    assert -1.0 <= got <= 1.0
+
+    try:
+        import torch
+        from torchmetrics.image import StructuralSimilarityIndexMeasure
+    except ImportError:
+        torch = None
+    if torch is not None:
+        tm = StructuralSimilarityIndexMeasure(data_range=1.0)
+        want = float(tm(torch.from_numpy(a).permute(0, 3, 1, 2),
+                        torch.from_numpy(b).permute(0, 3, 1, 2)))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    txt = jax.jit(lambda x, y: ssim(x, y, data_range=1.0)).lower(
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+    ).as_text()
+    assert "HIGHEST" in txt, "SSIM filters lost their precision pin"

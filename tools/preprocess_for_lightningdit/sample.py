@@ -93,16 +93,23 @@ def main():
 
     sampler = ode_euler_sample if args.mode == "ode" else sde_sample
 
-    @jax.jit
     def gen_batch(rng, labels):
         z = sampler(
             model_fn, dit_params, rng,
-            (args.batch, input_size, input_size, in_chans),
+            (labels.shape[0], input_size, input_size, in_chans),
             labels=labels, num_steps=args.steps, cfg_scale=args.cfg,
         )
         z = z * std + mean  # de-normalize to the tokenizer latent space
         img = G.apply(vae_vars, z, method=G.decode)
         return jnp.clip(img, -1, 1)
+
+    # Sample/decode batches shard over this host's chips (the reference's
+    # torchrun-per-GPU sampler collapses into one process; cross-host runs
+    # split `--num` by invocation).
+    from vfm_vae_tpu.parallel import ShardedFn, serving_mesh
+
+    gen_sharded = ShardedFn(gen_batch, args.batch, mesh=serving_mesh(),
+                            batch_argnums=(1,))
 
     os.makedirs(args.out, exist_ok=True)
     rng = jax.random.PRNGKey(0)
@@ -110,8 +117,9 @@ def main():
     per_class = max(1, args.num // num_classes)
     while idx < args.num:
         rng, r1, r2 = jax.random.split(rng, 3)
-        labels = jax.random.randint(r1, (args.batch,), 0, num_classes)
-        imgs = np.asarray((gen_batch(r2, labels) + 1) * 127.5).astype(np.uint8)
+        labels = np.asarray(
+            jax.random.randint(r1, (args.batch,), 0, num_classes))
+        imgs = ((gen_sharded(r2, labels) + 1) * 127.5).astype(np.uint8)
         for j in range(imgs.shape[0]):
             if idx >= args.num:
                 break

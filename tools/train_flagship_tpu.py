@@ -40,6 +40,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)  # package imports (vfm_vae_tpu.*) from the tool
 
 import demo_train_tpu as demo
 
@@ -111,6 +112,9 @@ def main():
                          "multi-variant step compile)")
     ap.add_argument("--run-dir", default="/tmp/vfm_vae_flagship")
     ap.add_argument("--val-images", type=int, default=64)
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip the training leg and (re)run the snapshot "
+                         "evals over an existing run dir")
     args = ap.parse_args()
 
     root = args.run_dir
@@ -122,7 +126,8 @@ def main():
     config = flagship_config(root, data, c2t, args.batch, args.steps, args.eq)
     run_dir = os.path.join(root, "run")
 
-    demo.run_cli(config, args.steps)
+    if not args.eval_only:
+        demo.run_cli(config, args.steps)
     rows = demo.l1_trajectory(run_dir)
     assert len(rows) >= 4, f"too few stat ticks: {len(rows)}"
     k = max(1, len(rows) // 10)

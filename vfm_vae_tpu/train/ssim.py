@@ -16,7 +16,15 @@ def _gaussian_kernel1d(size: int, sigma: float) -> np.ndarray:
 
 
 def _filter(x: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
-    """Separable depthwise gaussian filter, valid conv, NHWC."""
+    """Separable depthwise gaussian filter, valid conv, NHWC.
+
+    precision=HIGHEST is load-bearing ON TPU: the default conv precision
+    rounds operands to bf16, and SSIM's windowed variance is the
+    catastrophically-cancelling E[x^2] - E[x]^2 — with 7 mantissa bits the
+    sigma estimates come out garbage and SSIM leaves [-1, 1] entirely
+    (observed: 3.03 on-chip vs 0.856 for the same images on CPU; PSNR,
+    which has no conv, matched exactly). An 11-tap depthwise gaussian at
+    fp32 is VPU noise next to the model."""
     C = x.shape[-1]
     kh = jnp.asarray(k1d, x.dtype)[:, None, None, None]
     kw = jnp.asarray(k1d, x.dtype)[None, :, None, None]
@@ -24,10 +32,12 @@ def _filter(x: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kh, (1, 1, 1, C)), (1, 1), "VALID",
         dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kw, (1, 1, 1, C)), (1, 1), "VALID",
         dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x
 
