@@ -475,3 +475,64 @@ def test_remat_policy_unknown_rejected():
 
     with pytest.raises(ValueError, match="unknown remat policy"):
         remat_layer(ConvNeXtSynthesisLayer, "typo")
+
+
+def test_mlp_bwd_bf16_hidden_grad_parity(monkeypatch):
+    """VFM_VAE_MLP_BWD_BF16 keeps the backward's recomputed hidden chain
+    in bf16 (the largest buffers in the training step's HLO traffic
+    table). Gradients must stay within bf16-storage noise of the fp32
+    default — the weight-grad einsums already cast to bf16 before
+    multiplying, so only storage precision changes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vfm_vae_tpu.ops.pallas.fused_mlp import fused_convnext_mlp
+
+    B, H, W, C = 2, 8, 8, 128
+    r = np.random.default_rng(0)
+    args = [
+        r.standard_normal((B, H, W, C)).astype(np.float32),   # x
+        r.standard_normal((B, H, W, C)).astype(np.float32),   # x_in
+        r.standard_normal((B, C)).astype(np.float32),         # styles
+        np.abs(r.standard_normal((B, 4 * C))).astype(np.float32),  # dcoef
+        (r.standard_normal((C, 4 * C)) * 0.05).astype(np.float32),  # w1
+        r.standard_normal((4 * C,)).astype(np.float32) * 0.1,  # b1
+        (r.standard_normal((4 * C, C)) * 0.05).astype(np.float32),  # w2
+        r.standard_normal((C,)).astype(np.float32) * 0.1,      # b2
+        np.abs(r.standard_normal((C,))).astype(np.float32),    # gamma
+    ]
+    bf = [jnp.asarray(a, jnp.bfloat16) if a.ndim >= 3 or a.shape == (B, C)
+          else jnp.asarray(a) for a in args]
+
+    def loss(x, xi, s, d, w1, b1, w2, b2, g):
+        out = fused_convnext_mlp(x, xi, s, d, w1, b1, w2, b2, g,
+                                 interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grad = jax.grad(loss, argnums=(0, 4, 6))
+
+    monkeypatch.delenv("VFM_VAE_MLP_BWD_BF16", raising=False)
+    gx0, gw10, gw20 = jax.jit(grad)(*bf)
+    gx0, gw10, gw20 = map(np.array, (gx0, gw10, gw20))
+    monkeypatch.setenv("VFM_VAE_MLP_BWD_BF16", "1")
+    # The env knob is read when the custom_vjp bwd is TRACED, and jax
+    # caches that jaxpr across jit instances — drop the caches so the
+    # flag is actually observed (same per-process rule bench_train
+    # follows by using a fresh process per env value).
+    jax.clear_caches()
+    gx1, gw11, gw21 = jax.jit(grad)(*bf)
+
+    for a, b, name in ((gx0, gx1, "dx"), (gw10, gw11, "dw1"),
+                       (gw20, gw21, "dw2")):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(a).mean() + 1e-6
+        rel = np.abs(a - b).mean() / denom
+        assert rel < 2e-2, f"{name}: rel err {rel}"
+
+    # And the flag must actually have fired: bf16 hidden storage cannot be
+    # bit-identical to fp32 for these shapes (guards against the env knob
+    # silently dying in a refactor).
+    assert not np.array_equal(np.asarray(gw10, np.float32),
+                              np.asarray(gw11, np.float32))

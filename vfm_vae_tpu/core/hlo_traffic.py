@@ -92,7 +92,8 @@ def module_of(op_name: str) -> str:
 
 
 class EntryValue:
-    __slots__ = ("name", "bytes", "opcode", "op_name", "reads")
+    __slots__ = ("name", "bytes", "opcode", "op_name", "reads",
+                 "read_bytes", "write_bytes")
 
     def __init__(self, name, nbytes, opcode, op_name):
         self.name = name
@@ -100,6 +101,8 @@ class EntryValue:
         self.opcode = opcode
         self.op_name = op_name
         self.reads = 0
+        self.read_bytes = 0.0
+        self.write_bytes = 0.0
 
 
 def _entry_block(hlo_text: str) -> List[str]:
@@ -119,13 +122,63 @@ def _entry_block(hlo_text: str) -> List[str]:
     return out
 
 
+_CALLS_RE = re.compile(r"calls=%([A-Za-z0-9_.\-]+)")
+_COMP_HDR_RE = re.compile(r"^%([A-Za-z0-9_.\-]+)\s*\(")
+
+
+def _computation_opnames(hlo_text: str) -> Dict[str, str]:
+    """comp name -> a representative op_name (the ROOT instruction's, else
+    the last metadata seen). Late-created entry fusions often carry no
+    metadata themselves; their CALLED computation's root does — without
+    this fallback a third of flagship traffic lands in '?'."""
+    out: Dict[str, str] = {}
+    cur = None
+    last = root = ""
+    for ln in hlo_text.splitlines():
+        m = _COMP_HDR_RE.match(ln)
+        if m or ln.startswith("ENTRY "):
+            if cur:
+                out[cur] = root or last
+            cur = m.group(1) if m else None
+            last = root = ""
+            continue
+        if cur:
+            om = _OPNAME_RE.search(ln)
+            if om:
+                last = om.group(1)
+                if ln.lstrip().startswith("ROOT "):
+                    root = last
+    if cur:
+        out[cur] = root or last
+    return out
+
+
+# Consumers that are pure aliases: their "read" moves no HBM bytes — the
+# real read is charged when the ALIAS value is itself consumed (a
+# get-tuple-element's .bytes is the element size, so element-wise tuple
+# consumption is priced exactly once).
+_ALIAS_CONSUMERS = {"tuple", "bitcast", "bitcast-convert", "get-tuple-element"}
+# Consumers that read only a sub-region of their operand (async or not):
+# charge the PAYLOAD (their own output), not the whole operand.
+_PARTIAL_READERS = {"slice", "slice-start", "dynamic-slice", "dynamic-slice-start"}
+
+
 def parse_entry_traffic(hlo_text: str) -> List[EntryValue]:
-    """Parse the ENTRY computation into materialized values with read
-    counts. Values from _FREE_OPS carry bytes but are marked free
-    (opcode recorded) — parameters' READS still count (state streamed
-    from HBM) while their definition costs nothing."""
+    """Parse the ENTRY computation into materialized values with byte-
+    accurate read/write accounting:
+
+      * write_bytes: the value's own materialization. Free for
+        _FREE_OPS (parameters, constants, aliases). Async `*-start` ops
+        return a tuple EMBEDDING their aliased operand — their write is
+        output minus operands (the fresh payload only).
+      * read_bytes: charged on the OPERAND when a consumer touches it —
+        full operand bytes normally, payload bytes for slices, zero for
+        alias consumers (tuple/GTE/bitcast; `-done` ops are GTEs in
+        disguise and parse as such).
+    """
     values: Dict[str, EntryValue] = {}
     order: List[EntryValue] = []
+    comp_names = _computation_opnames(hlo_text)
     for ln in _entry_block(hlo_text):
         m = _DEF_RE.match(ln)
         if not m:
@@ -135,6 +188,10 @@ def parse_entry_traffic(hlo_text: str) -> List[EntryValue]:
         om = _OPNAME_RE.search(ln)
         if om:
             op_name = om.group(1)
+        if not op_name:
+            cm = _CALLS_RE.search(ln)
+            if cm:
+                op_name = comp_names.get(cm.group(1), "")
         v = EntryValue(name, shape_bytes(type_str), opcode, op_name)
         values[name] = v
         order.append(v)
@@ -148,9 +205,27 @@ def parse_entry_traffic(hlo_text: str) -> List[EntryValue]:
             elif rest[i] == ")":
                 d -= 1
             i += 1
-        for op in re.findall(r"%([A-Za-z0-9_.\-]+)", rest[: i - 1]):
-            if op in values:
-                values[op].reads += 1
+        ops = [op for op in re.findall(r"%([A-Za-z0-9_.\-]+)", rest[: i - 1])
+               if op in values]
+        operand_bytes = sum(values[op].bytes for op in ops)
+        # Fresh payload of this op's output (async `-start` tuples embed
+        # their aliased operand; subtract it).
+        payload = (max(v.bytes - operand_bytes, 0.0)
+                   if opcode.endswith("-start") else v.bytes)
+        for op in ops:
+            src = values[op]
+            src.reads += 1
+            if opcode in _ALIAS_CONSUMERS or opcode.endswith("-done"):
+                pass  # alias — no bytes move here
+            elif opcode in _PARTIAL_READERS:
+                # reads only the sub-region it emits
+                src.read_bytes += payload / max(len(ops), 1)
+            else:
+                src.read_bytes += src.bytes
+        if opcode in _FREE_OPS or opcode.endswith("-done"):
+            v.write_bytes = 0.0
+        else:
+            v.write_bytes = payload
     return order
 
 
@@ -158,27 +233,32 @@ def traffic_report(hlo_text: str, top: int = 30) -> dict:
     """Aggregate the ENTRY traffic into the ranked tables the README's
     training dossier quotes. Returns a dict (callers print/JSON it)."""
     vals = parse_entry_traffic(hlo_text)
-    total_write = sum(v.bytes for v in vals if v.opcode not in _FREE_OPS)
-    total_read = 0.0
+    total_write = sum(v.write_bytes for v in vals)
+    total_read = sum(v.read_bytes for v in vals)
     by_module = collections.Counter()
     by_lane = collections.Counter()
     by_class = collections.Counter()
     for v in vals:
-        traffic = v.bytes * v.reads  # reads by consumers
-        if v.opcode not in _FREE_OPS:
-            traffic += v.bytes  # the producing write
-        total_read += v.bytes * v.reads
+        traffic = v.read_bytes + v.write_bytes
         if traffic == 0:
             continue
         lane = lane_of(v.op_name)
         by_lane[lane] += traffic
         by_module[f"[{lane}] {module_of(v.op_name)}"] += traffic
         by_class[classify(v)] += traffic
-    ranked = sorted(
-        (v for v in vals if v.bytes * (v.reads + (v.opcode not in _FREE_OPS)) > 0),
-        key=lambda v: v.bytes * (v.reads + (v.opcode not in _FREE_OPS)),
-        reverse=True,
-    )[:top]
+    # Aggregate identical (size, reads, producer) rows — a decoder block's
+    # per-layer saves repeat dozens of times; one row with a count reads
+    # better than a wall of clones.
+    groups: Dict[tuple, dict] = {}
+    for v in vals:
+        t = v.read_bytes + v.write_bytes
+        if t <= 0:
+            continue
+        key = (round(v.bytes), v.reads, v.opcode, v.op_name[:140])
+        g = groups.setdefault(key, {"count": 0, "traffic": 0.0, "v": v})
+        g["count"] += 1
+        g["traffic"] += t
+    ranked = sorted(groups.values(), key=lambda g: -g["traffic"])[:top]
     return {
         "total_gb": (total_read + total_write) / 1e9,
         "write_gb": total_write / 1e9,
@@ -188,18 +268,17 @@ def traffic_report(hlo_text: str, top: int = 30) -> dict:
         "by_module": by_module.most_common(top),
         "top_buffers": [
             {
-                "name": v.name,
-                "mb": round(v.bytes / 1e6, 2),
-                "reads": v.reads,
-                "writes": int(v.opcode not in _FREE_OPS),
-                "traffic_mb": round(
-                    v.bytes * (v.reads + (v.opcode not in _FREE_OPS)) / 1e6, 2
-                ),
-                "opcode": v.opcode,
-                "lane": lane_of(v.op_name),
-                "op_name": v.op_name[:140],
+                "name": g["v"].name,
+                "count": g["count"],
+                "mb": round(g["v"].bytes / 1e6, 2),
+                "reads": g["v"].reads,
+                "writes": int(g["v"].write_bytes > 0),
+                "traffic_mb": round(g["traffic"] / 1e6, 2),
+                "opcode": g["v"].opcode,
+                "lane": lane_of(g["v"].op_name),
+                "op_name": g["v"].op_name[:140],
             }
-            for v in ranked
+            for g in ranked
         ],
     }
 
@@ -256,7 +335,7 @@ def format_report(rep: dict, wall_ms: Optional[float] = None,
     out.append("\n-- top single buffers (write + reads) --")
     for t in rep["top_buffers"]:
         out.append(
-            f"{t['traffic_mb']:9.1f} MB  {t['mb']:8.1f} MB "
+            f"{t['traffic_mb']:9.1f} MB  {t['count']:3d}x {t['mb']:8.1f} MB "
             f"x({t['writes']}w+{t['reads']}r) "
             f"[{t['lane']}] {t['opcode']:<12s} {t['op_name']}"
         )

@@ -320,25 +320,37 @@ def _fused_fwd(x, xi, styles, dcoef, w1, b1, w2, b2, gamma, use_pallas):
 
 def _fused_bwd(use_pallas, res, g):
     """Hand-written backward (plain XLA, rematerializes the hidden — the
-    same memory profile jax.checkpoint would give the unfused chain)."""
+    same memory profile jax.checkpoint would give the unfused chain).
+
+    VFM_VAE_MLP_BWD_BF16=1 keeps the recomputed HIDDEN-width chain
+    (h1 / gelu output / y_pre — each (B, N, 4C), the largest buffers in
+    the whole training step's HLO traffic table, ~1 GB apiece at 256²)
+    in bf16 instead of fp32. The GELU derivative itself stays fp32 (h is
+    needed at full precision for the pdf term); what drops to bf16 is
+    storage of the recomputed activations feeding the weight-gradient
+    einsums — the same precision those einsums already cast to before
+    multiplying. Opt-in pending a measured win + parity check
+    (tools/bench_mlp_bwd_bf16.py)."""
     x4, styles, dcoef, w1, b1, w2, b2, gamma = res
     Bb, Hh4, W4, C4 = x4.shape
     x = x4.reshape(Bb, Hh4 * W4, C4)
     g = g.reshape(Bb, Hh4 * W4, C4)
     f32 = jnp.float32
     dt = x.dtype
+    bwd_bf16 = os.environ.get("VFM_VAE_MLP_BWD_BF16") == "1" and dt != f32
+    hdt = dt if bwd_bf16 else f32  # storage dtype of the hidden chain
     gf = g.astype(f32)
     # Recompute forward intermediates.
     xs = (x.astype(f32) * styles[:, None, :].astype(f32)).astype(dt)
     h1 = jax.lax.dot_general(xs, w1.astype(dt), (((2,), (0,)), ((), ())),
-                             preferred_element_type=f32)
-    h = h1 * dcoef[:, None, :].astype(f32) + b1[:, None, :].astype(f32)
-    a = _gelu_exact(h)
+                             preferred_element_type=hdt)
+    h = h1.astype(f32) * dcoef[:, None, :].astype(f32) + b1[:, None, :].astype(f32)
+    a = _gelu_exact(h).astype(hdt)
     y_pre = jax.lax.dot_general(a.astype(dt), w2.astype(dt), (((2,), (0,)), ((), ())),
-                                preferred_element_type=f32) + b2.astype(f32)
-    # out = (y_pre * gamma + xi); all grads in fp32.
+                                preferred_element_type=hdt)
+    # out = (y_pre * gamma + xi); grad accumulations stay fp32.
     dxi = g  # reshaped back to 4-D at return
-    dgamma = jnp.sum(gf * y_pre, axis=(0, 1))
+    dgamma = jnp.sum(gf * (y_pre.astype(f32) + b2.astype(f32)), axis=(0, 1))
     dy = gf * gamma.astype(f32)
     db2 = jnp.sum(dy, axis=(0, 1))
     da = jax.lax.dot_general(dy.astype(dt), w2.astype(dt), (((2,), (1,)), ((), ())),
@@ -349,7 +361,7 @@ def _fused_bwd(use_pallas, res, g):
     pdf = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
     dh = da * (0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF)) + h * pdf)
     db1 = jnp.sum(dh, axis=1)  # (B, 4C): b1 is per-sample at this boundary
-    ddcoef = jnp.sum(dh * h1, axis=1)
+    ddcoef = jnp.sum(dh * h1.astype(f32), axis=1)
     dh1 = dh * dcoef[:, None, :].astype(f32)
     dxs = jax.lax.dot_general(dh1.astype(dt), w1.astype(dt), (((2,), (1,)), ((), ())),
                               preferred_element_type=f32)
