@@ -329,15 +329,17 @@ def _fused_bwd(use_pallas, res, g):
     needed at full precision for the pdf term); what drops to bf16 is
     storage of the recomputed activations feeding the weight-gradient
     einsums — the same precision those einsums already cast to before
-    multiplying. Opt-in pending a measured win + parity check
-    (tools/bench_mlp_bwd_bf16.py)."""
+    multiplying. DEFAULT ON since the measured chip win (B8-dots
+    449.1 -> 443.6 ms, loss identical to 4 decimals, grad parity within
+    bf16-storage noise — tests/test_decoder_blocks.py); set
+    VFM_VAE_MLP_BWD_BF16=0 to restore fp32 hidden storage."""
     x4, styles, dcoef, w1, b1, w2, b2, gamma = res
     Bb, Hh4, W4, C4 = x4.shape
     x = x4.reshape(Bb, Hh4 * W4, C4)
     g = g.reshape(Bb, Hh4 * W4, C4)
     f32 = jnp.float32
     dt = x.dtype
-    bwd_bf16 = os.environ.get("VFM_VAE_MLP_BWD_BF16") == "1" and dt != f32
+    bwd_bf16 = os.environ.get("VFM_VAE_MLP_BWD_BF16", "1") != "0" and dt != f32
     hdt = dt if bwd_bf16 else f32  # storage dtype of the hidden chain
     gf = g.astype(f32)
     # Recompute forward intermediates.
