@@ -566,6 +566,10 @@ def training_loop(
                     sd = flax.serialization.to_state_dict(snap_state)
                     snap_path = save_snapshot(run_dir, cur_nimg // 1000, sd)
                     print0(f"Saved snapshot {snap_path}")
+                    # sd references the gathered arrays — dropping only
+                    # snap_state would keep the all-gathered ZeRO moments
+                    # resident in HBM until the next snapshot tick.
+                    del sd
                 del snap_state
 
             # Metric evaluation rides the snapshot cadence (reference:
@@ -658,8 +662,15 @@ def training_loop(
                     validation=True,
                     train=False,
                 )
+                gen_np = np.asarray(out.gen_img)
+                # Free the eval forward's DEVICE buffers now: `out` carries
+                # gen_img plus every auxiliary GeneratorOutput field, and a
+                # retained reference would hold them in HBM for the next
+                # image_snapshot_ticks ticks — co-resident with a training
+                # step that already sits at ~15/16 GB at flagship B8.
+                del out
                 grid = np.concatenate(
-                    [r8 * 2 - 1, np.asarray(out.gen_img)], axis=0
+                    [r8 * 2 - 1, gen_np], axis=0
                 )
                 save_image_grid(
                     grid,
